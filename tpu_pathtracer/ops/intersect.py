@@ -1,0 +1,206 @@
+"""Ray-primitive intersection and vectorized BVH traversal (jnp path).
+
+Semantics follow the reference kernels exactly:
+  * Möller–Trumbore with EPSILON determinant rejection and t > EPSILON
+    acceptance (reference: src/passes/shaders/raytrace.wgsl:78-116),
+  * slab ray-AABB test with the parallel-axis containment check
+    (raytrace.wgsl:118-152),
+  * iterative stack traversal, MAX_STACK_SIZE=64, overflow terminates that
+    ray with its best hit so far (raytrace.wgsl:154-203), left child pushed
+    before right (so right is visited first), nearest hit wins with strict <.
+
+This module is the portable XLA implementation: every ray carries its own
+stack lane in a (R, 64) array inside a `lax.while_loop`, with gathers for node
+and triangle data.  It runs on CPU and TPU and is the semantic oracle for the
+Pallas fast path (ops/pallas/).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .vecmath import EPSILON, INF, cross, dot
+
+MAX_STACK_SIZE = 64  # raytrace.wgsl:8
+
+
+class Hit(NamedTuple):
+    """SoA hit record over the ray axis (reference Hit struct + barycentrics)."""
+
+    hit: jax.Array  # (R,) bool
+    t: jax.Array  # (R,) f32 (INF on miss)
+    tri: jax.Array  # (R,) i32 triangle index (-1 on miss)
+    u: jax.Array  # (R,) f32 barycentric for p1
+    v: jax.Array  # (R,) f32 barycentric for p2
+
+
+def ray_triangle(ro, rd, p0, p1, p2):
+    """Möller–Trumbore, vectorized over matching leading shapes.
+
+    Returns (valid (.,), t, u, v).  No normal interpolation here; callers
+    interpolate from barycentrics (raytrace.wgsl:105-112).
+    """
+    edge1 = p1 - p0
+    edge2 = p2 - p0
+    h = cross(rd, edge2)
+    a = dot(edge1, h)
+    non_parallel = jnp.abs(a) >= EPSILON
+    f = jnp.float32(1.0) / a
+    s = ro - p0
+    u = f * dot(s, h)
+    q = cross(s, edge1)
+    v = f * dot(rd, q)
+    t = f * dot(edge2, q)
+    valid = (
+        non_parallel
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > EPSILON)
+    )
+    return valid, t, u, v
+
+
+def ray_aabb(ro, rd, bmin, bmax):
+    """Slab test (raytrace.wgsl:118-152), vectorized; returns bool mask.
+
+    The reference's per-axis early-outs collapse to: all parallel axes must
+    contain the origin, and the accumulated tmax >= max(0, tmin).
+    """
+    parallel = jnp.abs(rd) < EPSILON
+    inside = (ro >= bmin) & (ro <= bmax)
+    ok_parallel = jnp.all(~parallel | inside, axis=-1)
+
+    safe_rd = jnp.where(parallel, jnp.float32(1.0), rd)
+    t1 = (bmin - ro) / safe_rd
+    t2 = (bmax - ro) / safe_rd
+    tnear = jnp.where(parallel, -INF, jnp.minimum(t1, t2))
+    tfar = jnp.where(parallel, INF, jnp.maximum(t1, t2))
+    tmin = jnp.max(tnear, axis=-1)
+    tmax = jnp.min(tfar, axis=-1)
+    return ok_parallel & (tmax >= jnp.maximum(jnp.float32(0.0), tmin))
+
+
+def bvh_intersect(bvh, triangles, ro, rd):
+    """Stack-based BVH traversal for a batch of rays.
+
+    bvh: scene.types.FlatBVH;  triangles: scene.types.Triangles;
+    ro, rd: (R, 3).  Returns Hit.
+    """
+    R = ro.shape[0]
+    n_nodes = bvh.left.shape[0]
+    if n_nodes == 0:  # empty-scene early out (raytrace.wgsl:205-211)
+        z = jnp.zeros((R,), jnp.float32)
+        return Hit(jnp.zeros((R,), bool), jnp.full((R,), INF), jnp.full((R,), -1, jnp.int32), z, z)
+
+    root_hit = ray_aabb(ro, rd, bvh.node_min[0], bvh.node_max[0])
+
+    stack = jnp.zeros((R, MAX_STACK_SIZE), jnp.int32)
+    sp = jnp.where(root_hit, 1, 0).astype(jnp.int32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, MAX_STACK_SIZE), 1)
+
+    init = (
+        stack,
+        sp,
+        jnp.full((R,), INF),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+    )
+
+    def cond(state):
+        return jnp.any(state[1] > 0)
+
+    def body(state):
+        stack, sp, best_t, best_tri, best_u, best_v = state
+        # Overflow rule: a ray whose stack reached MAX_STACK_SIZE terminates
+        # with its best-so-far hit (raytrace.wgsl:167-171).
+        sp = jnp.where(sp >= MAX_STACK_SIZE, 0, sp)
+        active = sp > 0
+
+        top = jnp.clip(sp - 1, 0, MAX_STACK_SIZE - 1)
+        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
+        node = jnp.where(active, node, 0)
+        sp = jnp.where(active, sp - 1, sp)
+
+        leaf = bvh.is_leaf[node] == 1
+
+        # --- leaf path: test the one triangle ---------------------------
+        tri_idx = bvh.tri[node]
+        tri_safe = jnp.clip(tri_idx, 0, triangles.p0.shape[0] - 1)
+        valid, t, u, v = ray_triangle(
+            ro,
+            rd,
+            triangles.p0[tri_safe],
+            triangles.p1[tri_safe],
+            triangles.p2[tri_safe],
+        )
+        take = active & leaf & valid & (t < best_t)
+        best_t = jnp.where(take, t, best_t)
+        best_tri = jnp.where(take, tri_idx, best_tri)
+        best_u = jnp.where(take, u, best_u)
+        best_v = jnp.where(take, v, best_v)
+
+        # --- internal path: AABB-test children, push hits ---------------
+        internal = active & ~leaf
+        left = bvh.left[node]
+        right = bvh.right[node]
+        lsafe = jnp.clip(left, 0, n_nodes - 1)
+        rsafe = jnp.clip(right, 0, n_nodes - 1)
+        push_l = internal & (left >= 0) & ray_aabb(ro, rd, bvh.node_min[lsafe], bvh.node_max[lsafe])
+        push_r = internal & (right >= 0) & ray_aabb(ro, rd, bvh.node_min[rsafe], bvh.node_max[rsafe])
+
+        slot_l = jnp.clip(sp, 0, MAX_STACK_SIZE - 1)
+        stack = jnp.where(
+            (lanes == slot_l[:, None]) & push_l[:, None], left[:, None], stack
+        )
+        sp = sp + push_l.astype(jnp.int32)
+        slot_r = jnp.clip(sp, 0, MAX_STACK_SIZE - 1)
+        stack = jnp.where(
+            (lanes == slot_r[:, None]) & push_r[:, None], right[:, None], stack
+        )
+        sp = sp + push_r.astype(jnp.int32)
+
+        return stack, sp, best_t, best_tri, best_u, best_v
+
+    _, _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    return Hit(best_tri >= 0, best_t, best_tri, best_u, best_v)
+
+
+def brute_force_intersect(triangles, ro, rd, num_valid=None):
+    """All-pairs reference intersector: every ray against every triangle.
+
+    O(R*N) — used for tiny scenes and as a second oracle for the BVH path.
+    Tie-breaking matches traversal order-independence: strictly nearest t wins;
+    equal-t ties resolve to the lowest triangle index.
+    """
+    def per_tri(carry, tri):
+        best_t, best_tri, best_u, best_v, idx = carry
+        p0, p1, p2 = tri
+        valid, t, u, v = ray_triangle(ro, rd, p0, p1, p2)
+        take = valid & (t < best_t)
+        return (
+            jnp.where(take, t, best_t),
+            jnp.where(take, idx, best_tri),
+            jnp.where(take, u, best_u),
+            jnp.where(take, v, best_v),
+            idx + 1,
+        ), None
+
+    R = ro.shape[0]
+    init = (
+        jnp.full((R,), INF),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.int32(0),
+    )
+    (best_t, best_tri, best_u, best_v, _), _ = jax.lax.scan(
+        per_tri, init, (triangles.p0, triangles.p1, triangles.p2)
+    )
+    return Hit(best_tri >= 0, best_t, best_tri, best_u, best_v)

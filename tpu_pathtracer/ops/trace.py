@@ -1,0 +1,186 @@
+"""The path-trace loop and whole-frame rendering (XLA megakernel path).
+
+Faithful re-expression of the reference's single compute kernel
+(reference: src/passes/shaders/raytrace.wgsl:373-478) as vectorized JAX over a
+flat ray axis:
+
+  * bounce loop: intersect -> sample BRDF -> accumulate emission -> continue,
+    miss -> add environment radiance and terminate (raytrace.wgsl:378-408),
+  * diffuse direction = cosine-weighted hemisphere, specular = mirror
+    reflection, chosen per-ray with probability = metalness, blended by
+    `isSpecular * (1 - roughness)` without renormalization
+    (raytrace.wgsl:383-391),
+  * throughput *= mix(color, specularColor, isSpecular) (raytrace.wgsl:395),
+  * per-pixel seed and per-sample DoF/AA jitters (raytrace.wgsl:424-455).
+
+Divergence is handled with lane masks: rays that missed stay inactive for the
+remaining bounces, and RNG state only advances for rays that consumed samples,
+keeping the integer RNG stream identical to the reference's per-thread stream.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera as camera_ops
+from . import envsample, rng
+from .intersect import bvh_intersect
+from .vecmath import mix, normalize, reflect
+
+
+def _gather_material(materials, idx):
+    safe = jnp.clip(idx, 0, materials.roughness.shape[0] - 1)
+    return {
+        "color": materials.color[safe],
+        "specular_color": materials.specular_color[safe],
+        "roughness": materials.roughness[safe],
+        "metalness": materials.metalness[safe],
+        "emission_color": materials.emission_color[safe],
+        "emission_strength": materials.emission_strength[safe],
+    }
+
+
+def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int, env_importance: bool = False):
+    """Trace a batch of rays to completion.
+
+    ro, rd: (R, 3); seed: (R,) uint32.
+    Returns (incoming_light (R, 3), seed).
+    """
+    R = ro.shape[0]
+    tris = scene.triangles
+
+    def body(_, carry):
+        ro, rd, incoming, color, seed, active = carry
+
+        hit = bvh_intersect(scene.bvh, tris, ro, rd)
+        hit_mask = active & hit.hit
+
+        tri_safe = jnp.clip(hit.tri, 0, tris.p0.shape[0] - 1)
+        w = 1.0 - hit.u - hit.v
+        normal = normalize(
+            tris.n0[tri_safe] * w[:, None]
+            + tris.n1[tri_safe] * hit.u[:, None]
+            + tris.n2[tri_safe] * hit.v[:, None]
+        )
+        position = ro + hit.t[:, None] * rd
+
+        mat = _gather_material(scene.materials, tris.material[tri_safe])
+
+        # RNG: hit rays consume 7 uniforms (6 for the cosine direction, 1 for
+        # the specular decision); missed/inactive rays must not advance.
+        seed_h, diffuse_dir = rng.rand_cosine_hemisphere(seed, normal)
+        seed_h, r_spec = rng.rand(seed_h)
+        is_specular = (mat["metalness"] >= r_spec).astype(jnp.float32)
+        specular_dir = reflect(rd, normal)
+        blend = (is_specular * (1.0 - mat["roughness"]))[:, None]
+        new_dir = mix(diffuse_dir, specular_dir, blend)  # deliberately unnormalized
+
+        # --- miss branch: environment lookup -----------------------------
+        miss_mask = active & ~hit.hit
+        if env_importance:
+            # The reference's (shipped-disabled) importance-sampled variant,
+            # with the PDF correction applied to the env term only
+            # (raytrace.wgsl:398-404).  Consumes 2 uniforms on miss.
+            seed_m, env_uv = envsample.env_importance_sample(scene.env, seed)
+            pdf = envsample.env_pdf(scene.env, env_uv)
+            env_contrib = (
+                envsample.env_radiance(scene.env, env_uv)
+                * params.env_intensity
+                / pdf[:, None]
+            )
+            seed = jnp.where(miss_mask, seed_m, seed)
+        else:
+            env_uv = envsample.env_uv_from_ray(rd, params.env_rotation)
+            env_contrib = envsample.env_radiance(scene.env, env_uv) * params.env_intensity
+
+        emitted = mat["emission_color"] * mat["emission_strength"][:, None]
+        incoming = incoming + jnp.where(hit_mask[:, None], emitted * color, 0.0)
+        incoming = incoming + jnp.where(miss_mask[:, None], env_contrib * color, 0.0)
+
+        color = jnp.where(
+            hit_mask[:, None],
+            color * mix(mat["color"], mat["specular_color"], is_specular[:, None]),
+            color,
+        )
+        ro = jnp.where(hit_mask[:, None], position, ro)
+        rd = jnp.where(hit_mask[:, None], new_dir, rd)
+        seed = jnp.where(hit_mask, seed_h, seed)
+        active = hit_mask
+
+        return ro, rd, incoming, color, seed, active
+
+    init = (
+        ro,
+        rd,
+        jnp.zeros((R, 3), jnp.float32),
+        jnp.ones((R, 3), jnp.float32),
+        seed,
+        jnp.ones((R,), bool),
+    )
+    _, _, incoming, _, seed, _ = jax.lax.fori_loop(0, max_bounces, body, init)
+    return incoming, seed
+
+
+def render_frame(
+    scene,
+    params,
+    *,
+    width: int,
+    height: int,
+    aspect: float,
+    samples_per_frame: int = 1,
+    max_bounces: int = 4,
+    env_importance: bool = False,
+):
+    """Render one progressive frame at (height, width); returns (H, W, 3) f32.
+
+    Row 0 corresponds to uv.y = 0 (the *bottom* of the camera frustum, because
+    v = -t + 2t*uv.y, raytrace.wgsl:223); image writers flip to display
+    orientation.  `aspect` is the display aspect (renderer.ts aspect getter),
+    which can differ from width/height under resolution scaling.
+    """
+    R = width * height
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    uv = jnp.stack(
+        [
+            xs.astype(jnp.float32) / np.float32(width),
+            ys.astype(jnp.float32) / np.float32(height),
+        ],
+        axis=-1,
+    ).reshape(R, 2)
+    pixel_index = (xs + ys * width).reshape(R)
+    seed = rng.pixel_seed(pixel_index, params.frame)
+
+    base_o, base_d = camera_ops.camera_rays(params.camera, uv, jnp.float32(aspect))
+    resolution = jnp.array([width, height], jnp.float32)
+
+    def sample_body(_, carry):
+        seed, acc = carry
+        seed, o, d = camera_ops.apply_dof(seed, base_o, base_d, params.camera, resolution)
+        light, seed = trace_rays(
+            scene, params, o, d, seed, max_bounces=max_bounces, env_importance=env_importance
+        )
+        return seed, acc + light
+
+    _, acc = jax.lax.fori_loop(
+        0, samples_per_frame, sample_body, (seed, jnp.zeros((R, 3), jnp.float32))
+    )
+    color = acc / np.float32(samples_per_frame)
+    return color.reshape(height, width, 3)
+
+
+def accumulate(prev, current, frame, enabled: bool = True):
+    """Progressive running mean (reference: src/passes/shaders/accumulate.wgsl:21-28).
+
+    weight = 1/frame (frame is 1-based), so frame 1 replaces, frame k blends.
+    """
+    f = jnp.asarray(frame).astype(jnp.float32)
+    weight = jnp.where(f > 0, 1.0 / jnp.maximum(f, 1.0), 1.0)
+    if not enabled:
+        weight = jnp.float32(1.0)
+    return prev + (current - prev) * weight

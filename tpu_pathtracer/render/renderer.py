@@ -1,0 +1,301 @@
+"""The Renderer orchestrator: progressive frame loop, state machine, events.
+
+Re-implements the reference Renderer's public contract
+(reference: src/renderer.ts:20-533) the JAX way:
+
+  * progressive state machine `idle | sampling | paused` with
+    start/pause/reset and a 1-based frame counter whose overflow past
+    `frames` flips to idle and emits 'complete' (renderer.ts:42, 342-348,
+    397-444),
+  * `render()` advances at most one progressive frame; the accumulated image
+    persists and can be displayed while paused (renderer.ts:366-395),
+  * event bus with on/off/emit for reset/start/pause/progress/complete
+    (renderer.ts:446-468),
+  * `progress = frame / (frames + 1)` (renderer.ts:334-336),
+  * reset discards accumulation history (the JAX collapse of the reference's
+    "recreate textures + rebind everything" invalidation fan-out, SURVEY §3.3),
+  * per-pass timing meters (raytrace/accumulate/fullscreen equivalents),
+  * scene dirty-flag compile: the device scene is rebuilt only when
+    scene.needs_update is set (raytrace.ts:392-394).
+
+Differences by design: buffers are JAX values (no bind groups to rebuild);
+the raytrace + accumulate passes fuse into one jitted, donated step unless
+per-pass timing is enabled.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PostConfig, RenderConfig, Tonemap
+from ..ops.trace import accumulate as accumulate_op
+from ..ops.trace import render_frame
+from ..post import postprocess
+from ..scene.host import Scene
+from ..scene.types import Camera, RenderParams, SceneData
+from .timing import PassTimer
+
+Event = str  # 'reset' | 'start' | 'pause' | 'progress' | 'complete'
+
+
+def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: int,
+                    max_bounces: int, accumulate: bool, env_importance: bool = False):
+    """Build the fused jitted progressive step:
+    raytrace one frame + fold it into the accumulation buffer (donated)."""
+
+    def step(scene: SceneData, params: RenderParams, acc: jax.Array) -> jax.Array:
+        frame_img = render_frame(
+            scene,
+            params,
+            width=width,
+            height=height,
+            aspect=aspect,
+            samples_per_frame=samples_per_frame,
+            max_bounces=max_bounces,
+            env_importance=env_importance,
+        )
+        return accumulate_op(acc, frame_img, params.frame, enabled=accumulate)
+
+    return jax.jit(step, donate_argnums=(2,))
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: Scene,
+        camera: Camera,
+        config: RenderConfig = RenderConfig(),
+        post: PostConfig = PostConfig(),
+        *,
+        env_importance: bool = False,
+        enable_timing: bool = False,
+    ) -> None:
+        self.scene = scene
+        self.camera = camera
+        self._config = config
+        self.post = post
+        self.env_importance = env_importance
+        self.enable_timing = enable_timing
+
+        self.status: str = "idle"
+        self._frame: int = 1
+        self.env_intensity: float = 1.0
+        self.env_rotation: float = 0.0
+
+        self.timings: Dict[str, PassTimer] = {
+            "raytrace": PassTimer("raytrace"),
+            "accumulate": PassTimer("accumulate"),
+            "fullscreen": PassTimer("fullscreen"),
+        }
+        self._listeners: Dict[Event, List[Callable]] = {}
+
+        self._scene_data: Optional[SceneData] = None
+        self._step = None
+        self._acc: Optional[jax.Array] = None
+        self._rebuild()
+
+    # ------------------------------------------------------------- config
+
+    @property
+    def config(self) -> RenderConfig:
+        return self._config
+
+    @config.setter
+    def config(self, value: RenderConfig) -> None:
+        self._config = value
+        self._rebuild()
+        self.reset()
+
+    def _rebuild(self) -> None:
+        c = self._config
+        self._step = make_frame_step(
+            c.scaled_width,
+            c.scaled_height,
+            aspect=c.width / c.height,
+            samples_per_frame=c.samples_per_frame,
+            max_bounces=c.max_bounces,
+            accumulate=c.accumulate,
+            env_importance=self.env_importance,
+        )
+        self._acc = jnp.zeros((c.scaled_height, c.scaled_width, 3), jnp.float32)
+
+    # convenience setters mirroring the Tweakpane bindings (main.ts:167-349);
+    # each resets the progressive render like the reference UI does.
+    def set_option(self, **kwargs) -> None:
+        import dataclasses
+
+        cfg_fields = {f.name for f in dataclasses.fields(RenderConfig)}
+        cfg_updates = {k: v for k, v in kwargs.items() if k in cfg_fields}
+        if cfg_updates:
+            self.config = dataclasses.replace(self._config, **cfg_updates)
+        post_fields = {f.name for f in dataclasses.fields(PostConfig)}
+        post_updates = {k: v for k, v in kwargs.items() if k in post_fields}
+        if post_updates:
+            self.post = dataclasses.replace(self.post, **post_updates)
+        rest = set(kwargs) - set(cfg_updates) - set(post_updates)
+        for k in rest:
+            if k in ("env_intensity", "env_rotation"):
+                setattr(self, k, float(kwargs[k]))
+                self.reset()
+            else:
+                raise AttributeError(f"unknown option {k}")
+
+    # ------------------------------------------------------------- events
+
+    def on(self, event: Event, callback: Callable) -> Callable:
+        self._listeners.setdefault(event, []).append(callback)
+        return lambda: self._listeners[event].remove(callback)
+
+    def emit(self, event: Event, *args) -> None:
+        for cb in list(self._listeners.get(event, [])):
+            cb(*args)
+
+    # ------------------------------------------------------------- state
+
+    @property
+    def frame(self) -> int:
+        return self._frame
+
+    @frame.setter
+    def frame(self, value: int) -> None:
+        self._frame = value
+        if self._frame > self._config.frames:
+            self.status = "idle"
+            self.emit("complete")
+
+    @property
+    def progress(self) -> float:
+        return self._frame / (self._config.frames + 1)
+
+    @property
+    def samples(self) -> int:
+        """Accumulated samples per pixel so far ((frame-1) * spp, main.ts:132-138)."""
+        return (self._frame - 1) * self._config.samples_per_frame
+
+    def start(self) -> None:
+        if self.status != "sampling":
+            self.status = "sampling"
+            self.emit("start")
+
+    def pause(self) -> None:
+        if self.status == "sampling":
+            self.status = "paused"
+            self.emit("pause")
+
+    def reset(self, *, keep_paused: bool = False) -> None:
+        c = self._config
+        self._acc = jnp.zeros((c.scaled_height, c.scaled_width, 3), jnp.float32)
+        self._frame = 1
+        self.emit("reset")
+        if not (keep_paused and self.status == "paused"):
+            self.status = "sampling"
+            self.emit("start")
+
+    # ------------------------------------------------------------- render
+
+    def _compile_scene(self) -> None:
+        if self._scene_data is None or self.scene.needs_update:
+            self._scene_data = self.scene.compile()
+
+    @property
+    def scene_data(self) -> SceneData:
+        self._compile_scene()
+        return self._scene_data
+
+    def _params(self) -> RenderParams:
+        return RenderParams.create(
+            self.camera,
+            frame=self._frame,
+            env_intensity=self.env_intensity,
+            env_rotation=self.env_rotation,
+        )
+
+    def render(self) -> None:
+        """Advance one progressive frame (the reference's per-rAF render(),
+        renderer.ts:366-395)."""
+        self._compile_scene()
+        should_sample = self.status == "sampling" and self._frame <= self._config.frames
+        if not should_sample:
+            return
+
+        params = self._params()
+        if self.enable_timing:
+            c = self._config
+            img = self.timings["raytrace"].time_blocked(
+                partial(
+                    render_frame,
+                    width=c.scaled_width,
+                    height=c.scaled_height,
+                    aspect=c.width / c.height,
+                    samples_per_frame=c.samples_per_frame,
+                    max_bounces=c.max_bounces,
+                    env_importance=self.env_importance,
+                ),
+                self._scene_data,
+                params,
+            )
+            self._acc = self.timings["accumulate"].time_blocked(
+                accumulate_op, self._acc, img, params.frame, self._config.accumulate
+            )
+        else:
+            self._acc = self._step(self._scene_data, params, self._acc)
+
+        self.frame = self._frame + 1
+        self.emit("progress", self.progress)
+
+    def render_all(self) -> jax.Array:
+        """Run the full progressive budget; returns the raw accumulation."""
+        if self.status == "idle":
+            self.reset()
+        while self.status == "sampling" and self._frame <= self._config.frames:
+            self.render()
+        return self.accumulation
+
+    # ------------------------------------------------------------- output
+
+    @property
+    def accumulation(self) -> jax.Array:
+        """Raw accumulated radiance at render resolution (h, w, 3)."""
+        return self._acc
+
+    def display(self) -> jax.Array:
+        """Post-processed display image at full resolution (the fullscreen
+        pass: denoise -> upscale -> tonemap)."""
+        c = self._config
+
+        def run():
+            return postprocess(self._acc, self.post, c.height, c.width)
+
+        if self.enable_timing:
+            return self.timings["fullscreen"].time_blocked(run)
+        return run()
+
+    def screenshot(self, path: str) -> None:
+        """Save the display image as PNG (reference: canvas.toDataURL,
+        src/main.ts:351-356)."""
+        from ..io.image import write_png
+
+        img = np.asarray(self.display())
+        write_png(path, img, flip_vertical=True)
+
+    # ------------------------------------------------------------- resume
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the progressive render (accumulation + frame counter).
+
+        The reference only pauses in-memory (SURVEY §5 checkpoint/resume);
+        on-disk resume is a net-new capability.
+        """
+        np.savez(path, acc=np.asarray(self._acc), frame=self._frame,
+                 frames=self._config.frames, spp=self._config.samples_per_frame)
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        self._acc = jnp.asarray(data["acc"])
+        self._frame = int(data["frame"])
+        self.status = "sampling" if self._frame <= self._config.frames else "idle"

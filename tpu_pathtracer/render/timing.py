@@ -1,0 +1,71 @@
+"""Per-pass timing utilities.
+
+The reference wraps every GPU pass in timestamp queries and smooths the
+readback over a 30-sample rolling window (reference: src/timing.ts:1-20,
+28-146, surfaced per-pass in the UI via pass.timingAverage, src/passes/
+pass.ts:22-26).  The TPU equivalent: wall-clock a dispatch bounded by
+`block_until_ready`, smoothed by the same rolling average.  For deeper kernel
+profiles use `jax.profiler.trace` around a render (see render/renderer.py).
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+
+class RollingAverage:
+    """30-sample ring-buffer mean (reference: src/timing.ts:1-20)."""
+
+    def __init__(self, num_samples: int = 30) -> None:
+        self._num_samples = num_samples
+        self._samples: list[float] = []
+        self._cursor = 0
+
+    def add_sample(self, value: float) -> None:
+        if len(self._samples) < self._num_samples:
+            self._samples.append(value)
+        else:
+            self._samples[self._cursor] = value
+        self._cursor = (self._cursor + 1) % self._num_samples
+
+    @property
+    def value(self) -> float:
+        if not self._samples:
+            return 0.0
+        return sum(self._samples) / len(self._samples)
+
+
+class PassTimer:
+    """Times one named pass; `value` is the rolling mean in microseconds."""
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+        self.average = RollingAverage()
+
+    @contextmanager
+    def measure(self, result_to_block=None):
+        start = time.perf_counter()
+        yield
+        if result_to_block is not None:
+            try:
+                import jax
+
+                jax.block_until_ready(result_to_block)
+            except Exception:
+                pass
+        self.average.add_sample((time.perf_counter() - start) * 1e6)
+
+    def time_blocked(self, fn, *args, **kwargs):
+        """Run fn, block on its output, record elapsed; returns the output."""
+        import jax
+
+        start = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        self.average.add_sample((time.perf_counter() - start) * 1e6)
+        return out
+
+    @property
+    def value(self) -> float:
+        return self.average.value
