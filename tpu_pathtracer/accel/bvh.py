@@ -162,3 +162,59 @@ def build_bvh_flat(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Dict[str, 
         "tri": np.asarray(rec_tri, np.int32)[order],
         "is_leaf": leaf,
     }
+
+
+def flat_to_links(flat: Dict[str, np.ndarray], end: int | None = None) -> Dict[str, np.ndarray]:
+    """Re-lay the flat BFS BVH in DFS preorder with skip links.
+
+    This is the TPU-native traversal layout: a ray walks nodes with a single
+    pointer — on AABB hit at an internal node it advances to `i + 1` (the
+    first child, contiguous in preorder), otherwise it jumps to `miss[i]`
+    (the next node in preorder that is not in i's subtree).  Leaves test
+    their triangle and then always take `miss[i]`.  `end` (default K) is the
+    termination sentinel.  Same nearest-hit result as the reference's
+    stack traversal (raytrace.wgsl:154-203) without per-ray stack state —
+    and no 64-deep overflow failure mode.
+
+    Returns {"min","max","tri","miss"} with tri = -1 for internal nodes.
+    """
+    k = flat["left"].shape[0]
+    end = k if end is None else end
+    if k == 0:
+        return {
+            "min": np.zeros((0, 3), np.float32),
+            "max": np.zeros((0, 3), np.float32),
+            "tri": np.zeros((0,), np.int32),
+            "miss": np.zeros((0,), np.int32),
+        }
+
+    left, right = flat["left"], flat["right"]
+    is_leaf = flat["is_leaf"]
+
+    # DFS preorder over the BFS tree.
+    preorder = np.empty(k, np.int64)
+    new_id = np.empty(k, np.int64)
+    stack = [0]
+    pos = 0
+    while stack:
+        n = stack.pop()
+        preorder[pos] = n
+        new_id[n] = pos
+        pos += 1
+        if is_leaf[n] == 0:
+            stack.append(right[n])  # pushed first -> visited after left subtree
+            stack.append(left[n])
+
+    miss = np.full(k, end, np.int64)  # new-id indexed
+    for pos in range(k):
+        n = preorder[pos]
+        if is_leaf[n] == 0:
+            miss[new_id[left[n]]] = new_id[right[n]]
+            miss[new_id[right[n]]] = miss[pos]
+
+    return {
+        "min": flat["min"][preorder],
+        "max": flat["max"][preorder],
+        "tri": np.where(is_leaf[preorder] == 1, flat["tri"][preorder], -1).astype(np.int32),
+        "miss": miss.astype(np.int32),
+    }

@@ -86,8 +86,87 @@ def ray_aabb(ro, rd, bmin, bmax):
     return ok_parallel & (tmax >= jnp.maximum(jnp.float32(0.0), tmin))
 
 
-def bvh_intersect(bvh, triangles, ro, rd):
-    """Stack-based BVH traversal for a batch of rays.
+def ray_aabb_t(ro, rd, bmin, bmax):
+    """Slab test that also returns the entry distance tmin (for ordered/
+    pruned traversal).  Hit condition identical to `ray_aabb`."""
+    parallel = jnp.abs(rd) < EPSILON
+    inside = (ro >= bmin) & (ro <= bmax)
+    ok_parallel = jnp.all(~parallel | inside, axis=-1)
+
+    safe_rd = jnp.where(parallel, jnp.float32(1.0), rd)
+    t1 = (bmin - ro) / safe_rd
+    t2 = (bmax - ro) / safe_rd
+    tnear = jnp.where(parallel, -INF, jnp.minimum(t1, t2))
+    tfar = jnp.where(parallel, INF, jnp.maximum(t1, t2))
+    tmin = jnp.max(tnear, axis=-1)
+    tmax = jnp.min(tfar, axis=-1)
+    return ok_parallel & (tmax >= jnp.maximum(jnp.float32(0.0), tmin)), tmin
+
+
+def bvh_intersect(nodes, tri_pos, ro, rd):
+    """Stackless skip-link BVH traversal (the XLA fast path).
+
+    nodes: (K, 8) packed skip-link nodes, tri_pos: (N, 9) packed vertices
+    (see scene.types.PackedGeometry — a single wide gather per step compiles
+    and runs far faster than per-field gathers);  ro, rd: (R, 3).
+    Returns Hit.
+
+    Per-ray state is a single node pointer.  Node AABBs whose entry distance
+    exceeds the current best hit are skipped (safe pruning: no triangle in
+    that subtree can win).  Nearest-hit result matches the reference's stack
+    traversal (raytrace.wgsl:154-203) up to exact-t ties, without the 64-deep
+    stack-overflow failure mode.
+    """
+    R = ro.shape[0]
+    K = nodes.shape[0]
+    if K == 0:  # empty-scene early out (raytrace.wgsl:205-211)
+        z = jnp.zeros((R,), jnp.float32)
+        return Hit(jnp.zeros((R,), bool), jnp.full((R,), INF), jnp.full((R,), -1, jnp.int32), z, z)
+
+    init = (
+        jnp.zeros((R,), jnp.int32),  # ptr
+        jnp.full((R,), INF),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+    )
+
+    def cond(state):
+        return jnp.any(state[0] < K)
+
+    def body(state):
+        ptr, best_t, best_tri, best_u, best_v = state
+        active = ptr < K
+        p = jnp.where(active, ptr, 0)
+
+        nd = nodes[p]  # (R, 8) single gather
+        box_hit, box_tmin = ray_aabb_t(ro, rd, nd[:, 0:3], nd[:, 3:6])
+        box_hit = box_hit & active & (box_tmin < best_t)
+
+        tri_idx = jax.lax.bitcast_convert_type(nd[:, 6], jnp.int32)
+        miss = jax.lax.bitcast_convert_type(nd[:, 7], jnp.int32)
+        is_leaf = tri_idx >= 0
+        td = tri_pos[jnp.clip(tri_idx, 0, tri_pos.shape[0] - 1)]  # (R, 9)
+        valid, t, u, v = ray_triangle(ro, rd, td[:, 0:3], td[:, 3:6], td[:, 6:9])
+        take = box_hit & is_leaf & valid & (t < best_t)
+        best_t = jnp.where(take, t, best_t)
+        best_tri = jnp.where(take, tri_idx, best_tri)
+        best_u = jnp.where(take, u, best_u)
+        best_v = jnp.where(take, v, best_v)
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, p + 1, miss)
+        ptr = jnp.where(active, nxt, ptr)
+        return ptr, best_t, best_tri, best_u, best_v
+
+    _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    return Hit(best_tri >= 0, best_t, best_tri, best_u, best_v)
+
+
+def bvh_intersect_stack(bvh, triangles, ro, rd):
+    """Stack-based BVH traversal for a batch of rays — the literal analogue
+    of the reference's traversal incl. its 64-deep overflow early-exit.
+    Kept as a semantic cross-check for `bvh_intersect`.
 
     bvh: scene.types.FlatBVH;  triangles: scene.types.Triangles;
     ro, rd: (R, 3).  Returns Hit.

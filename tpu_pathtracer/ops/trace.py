@@ -56,19 +56,21 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int, env_importance:
     def body(_, carry):
         ro, rd, incoming, color, seed, active = carry
 
-        hit = bvh_intersect(scene.bvh, tris, ro, rd)
+        hit = bvh_intersect(scene.packed.nodes, scene.packed.tri_pos, ro, rd)
         hit_mask = active & hit.hit
 
         tri_safe = jnp.clip(hit.tri, 0, tris.p0.shape[0] - 1)
+        shade = scene.packed.tri_shade[tri_safe]  # (R, 10) single gather
         w = 1.0 - hit.u - hit.v
         normal = normalize(
-            tris.n0[tri_safe] * w[:, None]
-            + tris.n1[tri_safe] * hit.u[:, None]
-            + tris.n2[tri_safe] * hit.v[:, None]
+            shade[:, 0:3] * w[:, None]
+            + shade[:, 3:6] * hit.u[:, None]
+            + shade[:, 6:9] * hit.v[:, None]
         )
         position = ro + hit.t[:, None] * rd
 
-        mat = _gather_material(scene.materials, tris.material[tri_safe])
+        mat_idx = jax.lax.bitcast_convert_type(shade[:, 9], jnp.int32)
+        mat = _gather_material(scene.materials, mat_idx)
 
         # RNG: hit rays consume 7 uniforms (6 for the cosine direction, 1 for
         # the specular decision); missed/inactive rays must not advance.

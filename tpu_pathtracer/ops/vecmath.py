@@ -3,9 +3,13 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(1e20)  # raytrace.wgsl:6
-EPSILON = jnp.float32(1e-6)  # raytrace.wgsl:7
+# Host-side scalars on purpose: a module-level jnp scalar would live on the
+# default accelerator and every jit *lowering* that captures it as a constant
+# would fetch it device->host (observed: minutes over a tunneled TPU).
+INF = np.float32(1e20)  # raytrace.wgsl:6
+EPSILON = np.float32(1e-6)  # raytrace.wgsl:7
 
 
 def dot(a, b):

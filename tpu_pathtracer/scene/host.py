@@ -19,8 +19,17 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..accel.bvh import build_bvh_flat
-from .types import EnvironmentMap, FlatBVH, Materials, SceneData, Triangles, pad_pow2
+from ..accel.bvh import build_bvh_flat, flat_to_links
+from .types import (
+    EnvironmentMap,
+    FlatBVH,
+    LinkedBVH,
+    Materials,
+    PackedGeometry,
+    SceneData,
+    Triangles,
+    pad_pow2,
+)
 from . import primitives
 
 
@@ -201,6 +210,40 @@ class Scene:
             is_leaf=jnp.asarray(pad2(bvh_np["is_leaf"], cap_nodes, np.int32(0))),
         )
 
+        links_np = flat_to_links(bvh_np, end=cap_nodes)
+        lmin = pad2(links_np["min"], cap_nodes, np.float32(np.inf))
+        lmax = pad2(links_np["max"], cap_nodes, np.float32(-np.inf))
+        ltri = pad2(links_np["tri"], cap_nodes, np.int32(-1))
+        lmiss = pad2(links_np["miss"], cap_nodes, np.int32(cap_nodes))
+        links = LinkedBVH(
+            node_min=jnp.asarray(lmin),
+            node_max=jnp.asarray(lmax),
+            tri=jnp.asarray(ltri),
+            miss=jnp.asarray(lmiss),
+        )
+
+        packed_nodes = np.concatenate(
+            [lmin, lmax, ltri.view(np.float32)[:, None], lmiss.view(np.float32)[:, None]],
+            axis=1,
+        )
+        packed_tri_pos = np.concatenate(
+            [pad2(p0, cap_tris), pad2(p1, cap_tris), pad2(p2, cap_tris)], axis=1
+        )
+        packed_tri_shade = np.concatenate(
+            [
+                pad2(n0, cap_tris),
+                pad2(n1, cap_tris),
+                pad2(n2, cap_tris),
+                pad2(mat, cap_tris).view(np.float32)[:, None],
+            ],
+            axis=1,
+        )
+        packed = PackedGeometry(
+            nodes=jnp.asarray(packed_nodes),
+            tri_pos=jnp.asarray(packed_tri_pos),
+            tri_shade=jnp.asarray(packed_tri_shade),
+        )
+
         nmat = max(1, len(materials))
         color = np.zeros((nmat, 3), np.float32)
         spec = np.zeros((nmat, 3), np.float32)
@@ -230,7 +273,9 @@ class Scene:
             env = EnvironmentMap.black(*(env_size or (8, 16)))
 
         self.needs_update = False
-        return SceneData(triangles=triangles, materials=mats, bvh=bvh, env=env)
+        return SceneData(
+            triangles=triangles, materials=mats, bvh=bvh, links=links, packed=packed, env=env
+        )
 
 
 def default_scene(env_radiance: Optional[np.ndarray] = None) -> Scene:

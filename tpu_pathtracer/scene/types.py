@@ -100,6 +100,45 @@ class FlatBVH:
         return self.left.shape[0]
 
 
+@_register(data=("node_min", "node_max", "tri", "miss"))
+class LinkedBVH:
+    """DFS-preorder skip-link BVH (see accel.bvh.flat_to_links) — the layout
+    the device traversal actually walks.  hit-next is implicit (i+1);
+    `miss[i]` jumps over i's subtree; `tri[i] >= 0` marks a leaf.  Termination
+    sentinel is the padded node count."""
+
+    node_min: jax.Array  # (K, 3)
+    node_max: jax.Array  # (K, 3)
+    tri: jax.Array  # (K,) i32, -1 for internal
+    miss: jax.Array  # (K,) i32
+
+    @property
+    def count(self) -> int:
+        return self.tri.shape[0]
+
+
+@_register(data=("nodes", "tri_pos", "tri_shade"))
+class PackedGeometry:
+    """Gather-friendly packed copies of the geometry + BVH for the hot loop.
+
+    XLA compiles one wide gather per traversal step orders of magnitude
+    faster than ten narrow ones (measured 150s -> 7s for the trace step), so
+    the device tracer walks these instead of the SoA fields:
+
+      nodes:     (K, 8)  f32 = [min.xyz, max.xyz, bitcast(tri), bitcast(miss)]
+                 in skip-link DFS order (see accel.bvh.flat_to_links)
+      tri_pos:   (N, 9)  f32 = [p0, p1, p2]
+      tri_shade: (N, 10) f32 = [n0, n1, n2, bitcast(material_idx)]
+
+    Materials and the environment stay unpacked — they are the
+    differentiable leaves.
+    """
+
+    nodes: jax.Array
+    tri_pos: jax.Array
+    tri_shade: jax.Array
+
+
 @_register(
     data=("radiance", "marginal_cdf", "conditional_cdf", "pdf"),
 )
@@ -135,13 +174,19 @@ class EnvironmentMap:
         )
 
 
-@_register(data=("triangles", "materials", "bvh", "env"))
+@_register(data=("triangles", "materials", "bvh", "links", "packed", "env"))
 class SceneData:
-    """The fully-compiled device scene: everything the trace step reads."""
+    """The fully-compiled device scene: everything the trace step reads.
+
+    `bvh` is the reference-contract flat layout (kept for parity checks and
+    export); `links` is the skip-link layout; `packed` is what the hot
+    traversal actually gathers from."""
 
     triangles: Triangles
     materials: Materials
     bvh: FlatBVH
+    links: LinkedBVH
+    packed: PackedGeometry
     env: EnvironmentMap
 
 
