@@ -47,14 +47,15 @@ def sample_bilinear(img, uv):
     h, w = img.shape[0], img.shape[1]
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    # clamp each tap independently of the other (clamp-to-edge addressing)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
     c00 = img[y0, x0]
     c10 = img[y0, x1]
     c01 = img[y1, x0]
