@@ -1,0 +1,116 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4).
+
+Contract under test (parallel/sharded.py):
+  * row-tile sharding is BIT-IDENTICAL to the unsharded render,
+  * sample-axis sharding psums to a valid same-budget Monte-Carlo estimate,
+  * accumulation stays sharded across frames and matches the single-device
+    progressive result.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.ops.trace import accumulate, render_frame
+from tpu_pathtracer.parallel import (
+    make_mesh,
+    make_sharded_frame_step,
+    zeros_acc,
+)
+from tpu_pathtracer.scene import primitives
+from tpu_pathtracer.scene.envmap import gradient_sky
+from tpu_pathtracer.scene.host import Material, Mesh, Scene, rotation_x, translation
+from tpu_pathtracer.scene.types import Camera, RenderParams
+
+W = H = 16
+ASPECT = 1.0
+
+
+@pytest.fixture(scope="module")
+def scene_data():
+    white = Material(color=(1, 1, 1), roughness=1.0, metalness=0.0)
+    sc = Scene()
+    p, n, i = primitives.plane(4, 4)
+    sc.add(Mesh(p, n, i, white, transform=rotation_x(-math.pi / 2)))
+    p, n, i = primitives.box(0.8, 0.8, 0.8)
+    sc.add(Mesh(p, n, i, white, transform=translation(0, 0.4, 0)))
+    sc.set_environment(gradient_sky(16, 32))
+    return sc.compile()
+
+
+def _params(frame=1):
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    return RenderParams.create(cam, frame=frame)
+
+
+def _unsharded(scene_data, frame=1, spp=1):
+    return np.asarray(
+        render_frame(
+            scene_data, _params(frame), width=W, height=H, aspect=ASPECT,
+            samples_per_frame=spp, max_bounces=2,
+        )
+    )
+
+
+def test_tile_sharding_matches_unsharded(scene_data):
+    # Same RNG streams and global pixel coordinates; only XLA fusion-order
+    # ulps may differ between the sharded and unsharded compiled programs.
+    mesh = make_mesh(tiles=8, samples=1)
+    step = make_sharded_frame_step(
+        mesh, width=W, height=H, aspect=ASPECT, samples_per_frame=1, max_bounces=2
+    )
+    acc = step(scene_data, _params(1), zeros_acc(mesh, H, W))
+    ref = _unsharded(scene_data, frame=1, spp=1)
+    np.testing.assert_allclose(np.asarray(acc), ref, atol=1e-6, rtol=0)
+
+
+def test_tile_and_sample_sharding(scene_data):
+    mesh = make_mesh(tiles=4, samples=2)
+    step = make_sharded_frame_step(
+        mesh, width=W, height=H, aspect=ASPECT, samples_per_frame=4, max_bounces=2
+    )
+    acc = np.asarray(step(scene_data, _params(1), zeros_acc(mesh, H, W)))
+    ref = _unsharded(scene_data, frame=1, spp=4)
+    # Decorrelated sample streams: not bit-identical, but an unbiased
+    # same-budget estimate — bounded mean deviation on a mostly-smooth image.
+    assert acc.shape == ref.shape
+    assert np.isfinite(acc).all()
+    assert abs(acc.mean() - ref.mean()) < 0.15
+    assert np.abs(acc - ref).mean() < 0.35
+
+
+def test_progressive_accumulation_matches_single_device(scene_data):
+    mesh = make_mesh(tiles=8, samples=1)
+    step = make_sharded_frame_step(
+        mesh, width=W, height=H, aspect=ASPECT, samples_per_frame=1, max_bounces=2
+    )
+    acc = zeros_acc(mesh, H, W)
+    ref_acc = jnp.zeros((H, W, 3), jnp.float32)
+    for f in range(1, 4):
+        acc = step(scene_data, _params(f), acc)
+        ref_acc = accumulate(ref_acc, _unsharded(scene_data, frame=f), f, enabled=True)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ref_acc), atol=1e-6)
+
+
+def test_sample_axis_psum_mean_semantics(scene_data):
+    # samples=8, spp=8: every shard renders 1 sample; the psum-mean must be
+    # finite and close to the 8-spp sequential render in expectation.
+    mesh = make_mesh(tiles=1, samples=8)
+    step = make_sharded_frame_step(
+        mesh, width=W, height=H, aspect=ASPECT, samples_per_frame=8, max_bounces=2
+    )
+    acc = np.asarray(step(scene_data, _params(1), zeros_acc(mesh, H, W)))
+    ref = _unsharded(scene_data, frame=1, spp=8)
+    assert np.isfinite(acc).all()
+    assert abs(acc.mean() - ref.mean()) < 0.1
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(tiles=5, samples=3)  # 15 > 8 devices
+    mesh = make_mesh(tiles=8, samples=1)
+    with pytest.raises(ValueError):
+        make_sharded_frame_step(mesh, width=W, height=12, aspect=1.0)  # 12 % 8 != 0

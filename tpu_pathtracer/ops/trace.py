@@ -137,6 +137,9 @@ def render_frame(
     samples_per_frame: int = 1,
     max_bounces: int = 4,
     env_importance: bool = False,
+    row_offset=0,
+    full_height: int | None = None,
+    seed_salt=None,
 ):
     """Render one progressive frame at (height, width); returns (H, W, 3) f32.
 
@@ -144,22 +147,38 @@ def render_frame(
     v = -t + 2t*uv.y, raytrace.wgsl:223); image writers flip to display
     orientation.  `aspect` is the display aspect (renderer.ts aspect getter),
     which can differ from width/height under resolution scaling.
+
+    Sharding hooks (used by parallel.sharded inside shard_map):
+      * `row_offset` / `full_height`: this call renders rows
+        [row_offset, row_offset + height) of a `full_height`-tall image; pixel
+        seeds and uv.y are computed in *global* coordinates, so a row-sharded
+        render is bit-identical to the unsharded one.
+      * `seed_salt`: optional u32 folded into the per-pixel seed to decorrelate
+        sample-axis shards (salt 0 == the reference's exact stream).
     """
+    if full_height is None:
+        full_height = height
     R = width * height
     xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0) + jnp.asarray(
+        row_offset, jnp.int32
+    )
     uv = jnp.stack(
         [
             xs.astype(jnp.float32) / np.float32(width),
-            ys.astype(jnp.float32) / np.float32(height),
+            ys.astype(jnp.float32) / np.float32(full_height),
         ],
         axis=-1,
     ).reshape(R, 2)
     pixel_index = (xs + ys * width).reshape(R)
     seed = rng.pixel_seed(pixel_index, params.frame)
+    if seed_salt is not None:
+        seed = seed + jnp.asarray(seed_salt).astype(jnp.uint32)
 
     base_o, base_d = camera_ops.camera_rays(params.camera, uv, jnp.float32(aspect))
-    resolution = jnp.array([width, height], jnp.float32)
+    # AA jitter scales by the FULL render resolution (uniforms.resolution,
+    # raytrace.wgsl:444), not the local row-band height.
+    resolution = jnp.array([width, full_height], jnp.float32)
 
     def sample_body(_, carry):
         seed, acc = carry

@@ -1,0 +1,161 @@
+"""Sharded progressive rendering via shard_map over the ('tiles','samples') mesh.
+
+TPU-native replacement for the reference's single compute queue
+(SURVEY.md §2 'Parallelism & communication'): the pixel grid shards by row
+bands over the ``tiles`` axis and the per-frame sample budget shards over the
+``samples`` axis.  Per-shard partial radiance is combined with a ``psum`` over
+``samples`` (ICI all-reduce); the row-sharded accumulation buffer stays
+resident and sharded across frames, and materializes as one global array only
+when the host reads it (XLA inserts the all-gather).
+
+Exactness contract:
+  * tile sharding is bit-identical to the unsharded render — pixel seeds and
+    uv are computed in global coordinates (ops/trace.render_frame row_offset),
+  * sample sharding keeps shard 0 on the reference's exact RNG stream and
+    decorrelates shards 1..S-1 with a Weyl-increment seed salt; the result is
+    an equally-valid Monte-Carlo estimate with the same per-frame sample count
+    (statistically identical, not bit-identical, to sequential spp).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.trace import accumulate as accumulate_op
+from ..ops.trace import render_frame
+from .mesh import AXIS_SAMPLES, AXIS_TILES
+
+# Weyl sequence increment (2^32 / golden ratio, odd) — decorrelates the
+# sample-axis RNG streams without touching shard 0's reference stream.
+_SALT = 0x9E3779B9
+
+
+def acc_sharding(mesh) -> NamedSharding:
+    """Sharding of the (H, W, 3) accumulation buffer: rows over 'tiles',
+    replicated over 'samples'."""
+    return NamedSharding(mesh, P(AXIS_TILES, None, None))
+
+
+def zeros_acc(mesh, height: int, width: int) -> jax.Array:
+    return jax.device_put(
+        jnp.zeros((height, width, 3), jnp.float32), acc_sharding(mesh)
+    )
+
+
+def make_sharded_frame_step(
+    mesh,
+    *,
+    width: int,
+    height: int,
+    aspect: float,
+    samples_per_frame: int = 1,
+    max_bounces: int = 4,
+    accumulate: bool = True,
+    env_importance: bool = False,
+):
+    """Build the jitted sharded progressive step.
+
+    Returns step(scene, params, acc) -> acc' where acc is (H, W, 3) sharded
+    per `acc_sharding(mesh)`; scene/params are replicated.
+    """
+    n_tiles = mesh.shape[AXIS_TILES]
+    n_samples = mesh.shape[AXIS_SAMPLES]
+    if height % n_tiles != 0:
+        raise ValueError(f"height {height} must divide by tile axis {n_tiles}")
+    if samples_per_frame % n_samples != 0:
+        raise ValueError(
+            f"samples_per_frame {samples_per_frame} must divide by sample axis {n_samples}"
+        )
+    rows = height // n_tiles
+    spp_local = samples_per_frame // n_samples
+
+    # check_vma=False: the trace loop's while_loop carries are initialized
+    # from literals inside the shard and only become axis-varying through the
+    # body (rays depend on axis_index); the value-varying-axes checker cannot
+    # see that and rejects the carry otherwise.
+    import inspect
+
+    _kwargs = {}
+    _sig = inspect.signature(shard_map).parameters
+    if "check_vma" in _sig:
+        _kwargs["check_vma"] = False
+    elif "check_rep" in _sig:
+        _kwargs["check_rep"] = False
+    _smap = partial(shard_map, mesh=mesh, **_kwargs)
+
+    @partial(
+        _smap,
+        in_specs=(P(), P(), P(AXIS_TILES, None, None)),
+        out_specs=P(AXIS_TILES, None, None),
+    )
+    def shard_fn(scene, params, acc_shard):
+        ti = jax.lax.axis_index(AXIS_TILES)
+        si = jax.lax.axis_index(AXIS_SAMPLES)
+        img = render_frame(
+            scene,
+            params,
+            width=width,
+            height=rows,
+            aspect=aspect,
+            samples_per_frame=spp_local,
+            max_bounces=max_bounces,
+            env_importance=env_importance,
+            row_offset=ti * rows,
+            full_height=height,
+            seed_salt=si.astype(jnp.uint32) * jnp.uint32(_SALT),
+        )
+        # Mean over the sample axis: each shard holds the mean of its
+        # spp_local samples, so the cross-shard mean is psum / n_samples.
+        if n_samples > 1:
+            img = jax.lax.psum(img, AXIS_SAMPLES) / jnp.float32(n_samples)
+        return accumulate_op(acc_shard, img, params.frame, enabled=accumulate)
+
+    return jax.jit(shard_fn, donate_argnums=(2,))
+
+
+def make_sharded_render_all(
+    mesh,
+    *,
+    width: int,
+    height: int,
+    aspect: float,
+    frames: int = 64,
+    samples_per_frame: int = 1,
+    max_bounces: int = 4,
+    accumulate: bool = True,
+    env_importance: bool = False,
+):
+    """Whole progressive render as one jitted lax.fori_loop over frames —
+    the multi-chip batch path (no host round-trip per frame)."""
+    step = make_sharded_frame_step(
+        mesh,
+        width=width,
+        height=height,
+        aspect=aspect,
+        samples_per_frame=samples_per_frame,
+        max_bounces=max_bounces,
+        accumulate=accumulate,
+        env_importance=env_importance,
+    )
+
+    def render_all(scene, params0):
+        import dataclasses
+
+        acc = zeros_acc(mesh, height, width)
+
+        def body(f, acc):
+            p = dataclasses.replace(params0, frame=(f + 1).astype(jnp.uint32))
+            return step(scene, p, acc)
+
+        return jax.lax.fori_loop(0, frames, body, acc)
+
+    return render_all
