@@ -28,7 +28,7 @@ import numpy as np
 
 from . import camera as camera_ops
 from . import envsample, rng
-from .intersect import bvh_intersect
+from .intersect import bvh_intersect, bvh_intersect_diff
 from .vecmath import mix, normalize, reflect
 
 
@@ -44,19 +44,26 @@ def _gather_material(materials, idx):
     }
 
 
-def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int, env_importance: bool = False):
+def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
+               env_importance: bool = False, differentiable: bool = False):
     """Trace a batch of rays to completion.
 
     ro, rd: (R, 3); seed: (R,) uint32.
     Returns (incoming_light (R, 3), seed).
+
+    With `differentiable=True` the BVH walk runs detached and (t, u, v) are
+    replayed analytically (intersect.bvh_intersect_diff), making the whole
+    trace reverse-differentiable w.r.t. materials, environment radiance,
+    camera, and vertex data (the fori_loop bodies are scan-convertible).
     """
     R = ro.shape[0]
     tris = scene.triangles
+    intersect_fn = bvh_intersect_diff if differentiable else bvh_intersect
 
     def body(_, carry):
         ro, rd, incoming, color, seed, active = carry
 
-        hit = bvh_intersect(scene.packed.nodes, scene.packed.tri_pos, ro, rd)
+        hit = intersect_fn(scene.packed.nodes, scene.packed.tri_pos, ro, rd)
         hit_mask = active & hit.hit
 
         tri_safe = jnp.clip(hit.tri, 0, tris.p0.shape[0] - 1)
@@ -137,6 +144,7 @@ def render_frame(
     samples_per_frame: int = 1,
     max_bounces: int = 4,
     env_importance: bool = False,
+    differentiable: bool = False,
     row_offset=0,
     full_height: int | None = None,
     seed_salt=None,
@@ -184,7 +192,8 @@ def render_frame(
         seed, acc = carry
         seed, o, d = camera_ops.apply_dof(seed, base_o, base_d, params.camera, resolution)
         light, seed = trace_rays(
-            scene, params, o, d, seed, max_bounces=max_bounces, env_importance=env_importance
+            scene, params, o, d, seed, max_bounces=max_bounces,
+            env_importance=env_importance, differentiable=differentiable,
         )
         return seed, acc + light
 
