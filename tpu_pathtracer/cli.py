@@ -1,0 +1,271 @@
+"""Command-line harness: the TPU-native replacement for the reference's
+browser UI shell (reference: src/main.ts — Tweakpane panel, screenshot
+button, progress bar, device diagnostic).
+
+Commands:
+  render     scene -> PNG, with the full parameter surface of the reference
+             UI (resolution scale, frames, spp, bounces, tonemap, denoise,
+             camera pose/fov/focal-distance/aperture, env map/intensity/
+             rotation) plus checkpoint/resume.
+  benchmark  rays/s measurement (JSON line, same metric as bench.py).
+  invert     inverse-rendering demo: recover a perturbed material color from
+             a rendered target (BASELINE.json configs[4]).
+  info       backend/device diagnostic (reference: Renderer.diagnostic(),
+             src/renderer.ts:470-489).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_render_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--scene", default="default",
+                   help="'default' (plane+box+sphere, src/main.ts:49-75) or a .glb/.gltf path")
+    p.add_argument("--env", default="gradient",
+                   help="'gradient', 'black', or a .hdr path")
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="internal resolution scaling factor (renderer.ts:39)")
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--spp", type=int, default=1, help="samples per frame")
+    p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--tonemap", choices=["none", "aces", "reinhard"], default="aces")
+    p.add_argument("--denoise", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--env-intensity", type=float, default=1.0)
+    p.add_argument("--env-rotation", type=float, default=0.0, help="degrees")
+    p.add_argument("--camera-position", type=float, nargs=3, default=(0.0, 1.0, 4.0))
+    p.add_argument("--look-at", type=float, nargs=3, default=(0.0, 0.5, 0.0))
+    p.add_argument("--fov", type=float, default=45.0)
+    p.add_argument("--focal-distance", type=float, default=1.0)
+    p.add_argument("--aperture", type=float, default=0.0)
+    p.add_argument("--env-importance", action="store_true",
+                   help="enable CDF importance sampling of the environment")
+
+
+def _build_scene(args):
+    import numpy as np
+
+    from .io.hdr import read_hdr
+    from .scene.envmap import gradient_sky
+    from .scene.host import Material, Scene, default_scene
+
+    if args.env == "gradient":
+        env = gradient_sky(512, 1024)
+    elif args.env == "black":
+        env = np.zeros((8, 16, 3), np.float32)
+    else:
+        env = read_hdr(args.env)
+
+    if args.scene == "default":
+        scene = default_scene(env)
+    else:
+        from .io.gltf import load_gltf
+
+        scene = Scene()
+        for m in load_gltf(args.scene):
+            scene.add(m)
+        scene.set_environment(env)
+    return scene
+
+
+def _build_renderer(args):
+    from . import PostConfig, RenderConfig, Renderer, Tonemap
+    from .scene.types import Camera
+
+    scene = _build_scene(args)
+    cam = Camera.create(
+        position=tuple(args.camera_position),
+        look_at=tuple(args.look_at),
+        fov=args.fov,
+        focal_distance=args.focal_distance,
+        aperture=args.aperture,
+    )
+    cfg = RenderConfig(
+        width=args.width, height=args.height, scaling_factor=args.scale,
+        frames=args.frames, samples_per_frame=args.spp, max_bounces=args.bounces,
+    )
+    post = PostConfig(denoise=args.denoise, tonemap=Tonemap[args.tonemap.upper()])
+    r = Renderer(scene, cam, cfg, post,
+                 env_importance=args.env_importance,
+                 enable_timing=getattr(args, "timing", False))
+    import math
+
+    r.env_intensity = args.env_intensity
+    r.env_rotation = math.radians(args.env_rotation)
+    return r
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    r = _build_renderer(args)
+    if args.resume:
+        r.load_state(args.resume)
+        print(f"resumed at frame {r.frame}/{args.frames}", file=sys.stderr)
+    else:
+        r.reset()
+
+    t0 = time.perf_counter()
+    last_pct = -1
+    while r.status == "sampling" and r.frame <= args.frames:
+        r.render()
+        pct = int(r.progress * 100)
+        if pct != last_pct and pct % 10 == 0:
+            print(f"  {pct:3d}%  frame {r.frame - 1}/{args.frames} "
+                  f"({r.samples} spp)", file=sys.stderr)
+            last_pct = pct
+    jax.block_until_ready(r.accumulation)
+    dt = time.perf_counter() - t0
+
+    if args.checkpoint:
+        r.save_state(args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+    r.screenshot(args.output)
+    spp = args.frames * args.spp
+    print(f"{args.output}: {args.width}x{args.height} {spp}spp in {dt:.2f}s "
+          f"({r.config.scaled_width * r.config.scaled_height * spp / dt / 1e6:.3f} "
+          f"Mpixel-samples/s)", file=sys.stderr)
+    if args.timing:
+        for name, timer in r.timings.items():
+            print(f"  {name:11s} {timer.value:10.1f} us/frame", file=sys.stderr)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.trace import accumulate, render_frame
+    from .scene.types import Camera, RenderParams
+
+    r = _build_renderer(args)
+    scene_data = jax.device_put(r.scene_data)
+    W, H = r.config.scaled_width, r.config.scaled_height
+
+    def step(scene_d, params, acc):
+        img = render_frame(
+            scene_d, params, width=W, height=H, aspect=args.width / args.height,
+            samples_per_frame=args.spp, max_bounces=args.bounces,
+        )
+        return accumulate(acc, img, params.frame, enabled=True)
+
+    step = jax.jit(step, donate_argnums=(2,))
+    cam = r.camera
+
+    def run(n, acc, f0):
+        for i in range(n):
+            acc = step(scene_data, RenderParams.create(cam, frame=f0 + i), acc)
+        return jax.block_until_ready(acc)
+
+    acc = jnp.zeros((H, W, 3), jnp.float32)
+    acc = run(2, acc, 1)
+    best = float("inf")
+    for rep in range(args.reps):
+        t0 = time.perf_counter()
+        acc = run(args.frames, acc, 3 + rep * args.frames)
+        best = min(best, time.perf_counter() - t0)
+    rays = W * H * args.spp * args.bounces * args.frames
+    print(json.dumps({
+        "metric": f"bvh_traversal_rays_per_s_{jax.default_backend()}",
+        "value": rays / best,
+        "unit": "rays/s",
+        "vs_baseline": rays / best / 1e9,
+    }))
+    return 0
+
+
+def cmd_invert(args) -> int:
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import diff
+    from .scene.types import Camera, RenderParams
+
+    r = _build_renderer(args)
+    scene_data = r.scene_data
+    params = RenderParams.create(r.camera, frame=1)
+    kw = dict(width=r.config.scaled_width, height=r.config.scaled_height,
+              aspect=args.width / args.height, samples_per_frame=args.spp,
+              max_bounces=args.bounces)
+
+    target = diff.render_frame_diff(scene_data, params, **kw)
+
+    rng = np.random.default_rng(args.seed)
+    n_mat = scene_data.materials.color.shape[0]
+    wrong = jnp.asarray(rng.random((n_mat, 3)), jnp.float32)
+    bad = dataclasses.replace(
+        scene_data,
+        materials=dataclasses.replace(scene_data.materials, color=wrong),
+    )
+    print(f"optimizing materials.color from random init, {args.steps} steps...",
+          file=sys.stderr)
+    res = diff.invert(bad, params, target, ["materials.color"],
+                      steps=args.steps, learning_rate=args.lr, **kw)
+    true_c = np.asarray(scene_data.materials.color)
+    rec = np.asarray(res.values["materials.color"])
+    err = float(np.abs(rec - true_c).max())
+    print(json.dumps({
+        "metric": "invert_final_loss",
+        "value": res.final_loss,
+        "loss_start": res.losses[0],
+        "color_max_abs_err": err,
+    }))
+    return 0 if res.final_loss < res.losses[0] * 0.5 else 1
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    print(f"jax {jax.__version__}")
+    print(f"default backend: {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  {d.id}: {d.device_kind} ({d.platform})")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tpu_pathtracer",
+        description="TPU-native progressive path tracer",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render a scene to PNG")
+    _add_render_args(p)
+    p.add_argument("--output", "-o", default="render.png")
+    p.add_argument("--checkpoint", default=None,
+                   help="save accumulation state to this .npz after rendering")
+    p.add_argument("--resume", default=None,
+                   help="resume accumulation state from this .npz")
+    p.add_argument("--timing", action="store_true",
+                   help="per-pass timing meters (reference: src/timing.ts)")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("benchmark", help="measure rays/s (one JSON line)")
+    _add_render_args(p)
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("invert", help="inverse-rendering demo (recover colors)")
+    _add_render_args(p)
+    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--lr", type=float, default=5e-2)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_invert)
+
+    p = sub.add_parser("info", help="device diagnostic")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
