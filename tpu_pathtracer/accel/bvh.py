@@ -36,13 +36,24 @@ def _surface_area(size: np.ndarray) -> np.ndarray:
     return 2.0 * (x * y + x * z + y * z)
 
 
-def build_bvh_flat(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Dict[str, np.ndarray]:
+def build_bvh_flat(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+                   native: bool = True) -> Dict[str, np.ndarray]:
     """Build and flatten the BVH for a triangle soup.
 
     Returns dict of arrays: min/max (K,3) f32, left/right/tri/is_leaf (K,) i32.
     K = 2*N-1 for N triangles (K=0 for an empty scene, matching the
     empty-buffer early-out in raytrace.wgsl:205-211).
+
+    Dispatches to the C++ builder (csrc/bvh_builder.cpp) when available —
+    bit-identical output, ~40x faster on large meshes; `native=False` forces
+    this numpy implementation (the oracle).
     """
+    if native:
+        from . import native as _native
+
+        out = _native.build_bvh_flat_native(p0, p1, p2)
+        if out is not None:
+            return out
     n = int(p0.shape[0])
     if n == 0:
         return {
@@ -164,7 +175,8 @@ def build_bvh_flat(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Dict[str, 
     }
 
 
-def flat_to_links(flat: Dict[str, np.ndarray], end: int | None = None) -> Dict[str, np.ndarray]:
+def flat_to_links(flat: Dict[str, np.ndarray], end: int | None = None,
+                  native: bool = True) -> Dict[str, np.ndarray]:
     """Re-lay the flat BFS BVH in DFS preorder with skip links.
 
     This is the TPU-native traversal layout: a ray walks nodes with a single
@@ -178,6 +190,12 @@ def flat_to_links(flat: Dict[str, np.ndarray], end: int | None = None) -> Dict[s
 
     Returns {"min","max","tri","miss"} with tri = -1 for internal nodes.
     """
+    if native:
+        from . import native as _native
+
+        out = _native.flat_to_links_native(flat, end)
+        if out is not None:
+            return out
     k = flat["left"].shape[0]
     end = k if end is None else end
     if k == 0:
