@@ -143,3 +143,25 @@ def test_accumulate_running_mean():
     # disabled -> passthrough (accumulate.wgsl:25)
     acc2 = accumulate(frames[0], frames[1], 5, enabled=False)
     assert np.allclose(np.asarray(acc2), np.asarray(frames[1]))
+
+
+def test_env_importance_render_finite():
+    """The importance-sampled env path (the reference's shipped-disabled code
+    with its PDF correction, raytrace.wgsl:315-349, 396-404) renders finite,
+    non-black images and responds to env intensity."""
+    sc = _mini_scene()
+    sd = sc.compile()
+    cam = Camera.create(position=CAM_POS, direction=CAM_DIR, fov=45.0)
+    p = RenderParams.create(cam, frame=1)
+    img = np.asarray(render_frame(
+        sd, p, width=12, height=12, aspect=1.0,
+        samples_per_frame=2, max_bounces=2, env_importance=True,
+    ))
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+    p2 = RenderParams.create(cam, frame=1, env_intensity=2.0)
+    img2 = np.asarray(render_frame(
+        sd, p2, width=12, height=12, aspect=1.0,
+        samples_per_frame=2, max_bounces=2, env_importance=True,
+    ))
+    assert img2.mean() > img.mean()

@@ -1,0 +1,5 @@
+"""Utility helpers: orbit camera controller, misc."""
+
+from .orbit import OrbitCamera
+
+__all__ = ["OrbitCamera"]
