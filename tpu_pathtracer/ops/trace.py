@@ -57,70 +57,15 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
     camera, and vertex data (the fori_loop bodies are scan-convertible).
     """
     R = ro.shape[0]
-    tris = scene.triangles
     intersect_fn = bvh_intersect_diff if differentiable else bvh_intersect
 
     def body(_, carry):
         ro, rd, incoming, color, seed, active = carry
-
         hit = intersect_fn(scene.packed.nodes, scene.packed.tri_pos, ro, rd)
-        hit_mask = active & hit.hit
-
-        tri_safe = jnp.clip(hit.tri, 0, tris.p0.shape[0] - 1)
-        shade = scene.packed.tri_shade[tri_safe]  # (R, 10) single gather
-        w = 1.0 - hit.u - hit.v
-        normal = normalize(
-            shade[:, 0:3] * w[:, None]
-            + shade[:, 3:6] * hit.u[:, None]
-            + shade[:, 6:9] * hit.v[:, None]
+        return bounce_shade(
+            scene, params, hit, (ro, rd, incoming, color, seed, active),
+            env_importance=env_importance,
         )
-        position = ro + hit.t[:, None] * rd
-
-        mat_idx = jax.lax.bitcast_convert_type(shade[:, 9], jnp.int32)
-        mat = _gather_material(scene.materials, mat_idx)
-
-        # RNG: hit rays consume 7 uniforms (6 for the cosine direction, 1 for
-        # the specular decision); missed/inactive rays must not advance.
-        seed_h, diffuse_dir = rng.rand_cosine_hemisphere(seed, normal)
-        seed_h, r_spec = rng.rand(seed_h)
-        is_specular = (mat["metalness"] >= r_spec).astype(jnp.float32)
-        specular_dir = reflect(rd, normal)
-        blend = (is_specular * (1.0 - mat["roughness"]))[:, None]
-        new_dir = mix(diffuse_dir, specular_dir, blend)  # deliberately unnormalized
-
-        # --- miss branch: environment lookup -----------------------------
-        miss_mask = active & ~hit.hit
-        if env_importance:
-            # The reference's (shipped-disabled) importance-sampled variant,
-            # with the PDF correction applied to the env term only
-            # (raytrace.wgsl:398-404).  Consumes 2 uniforms on miss.
-            seed_m, env_uv = envsample.env_importance_sample(scene.env, seed)
-            pdf = envsample.env_pdf(scene.env, env_uv)
-            env_contrib = (
-                envsample.env_radiance(scene.env, env_uv)
-                * params.env_intensity
-                / pdf[:, None]
-            )
-            seed = jnp.where(miss_mask, seed_m, seed)
-        else:
-            env_uv = envsample.env_uv_from_ray(rd, params.env_rotation)
-            env_contrib = envsample.env_radiance(scene.env, env_uv) * params.env_intensity
-
-        emitted = mat["emission_color"] * mat["emission_strength"][:, None]
-        incoming = incoming + jnp.where(hit_mask[:, None], emitted * color, 0.0)
-        incoming = incoming + jnp.where(miss_mask[:, None], env_contrib * color, 0.0)
-
-        color = jnp.where(
-            hit_mask[:, None],
-            color * mix(mat["color"], mat["specular_color"], is_specular[:, None]),
-            color,
-        )
-        ro = jnp.where(hit_mask[:, None], position, ro)
-        rd = jnp.where(hit_mask[:, None], new_dir, rd)
-        seed = jnp.where(hit_mask, seed_h, seed)
-        active = hit_mask
-
-        return ro, rd, incoming, color, seed, active
 
     init = (
         ro,
@@ -132,6 +77,72 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
     )
     _, _, incoming, _, seed, _ = jax.lax.fori_loop(0, max_bounces, body, init)
     return incoming, seed
+
+
+def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False):
+    """One bounce of the trace loop given a Hit: BRDF sample + emission +
+    throughput update on hits, environment lookup on misses
+    (raytrace.wgsl:378-408).  Shared by the megakernel (`trace_rays`) and
+    the wavefront tracer (ops/wavefront.py)."""
+    ro, rd, incoming, color, seed, active = carry
+    tris = scene.triangles
+    hit_mask = active & hit.hit
+
+    tri_safe = jnp.clip(hit.tri, 0, tris.p0.shape[0] - 1)
+    shade = scene.packed.tri_shade[tri_safe]  # (R, 10) single gather
+    w = 1.0 - hit.u - hit.v
+    normal = normalize(
+        shade[:, 0:3] * w[:, None]
+        + shade[:, 3:6] * hit.u[:, None]
+        + shade[:, 6:9] * hit.v[:, None]
+    )
+    position = ro + hit.t[:, None] * rd
+
+    mat_idx = jax.lax.bitcast_convert_type(shade[:, 9], jnp.int32)
+    mat = _gather_material(scene.materials, mat_idx)
+
+    # RNG: hit rays consume 7 uniforms (6 for the cosine direction, 1 for
+    # the specular decision); missed/inactive rays must not advance.
+    seed_h, diffuse_dir = rng.rand_cosine_hemisphere(seed, normal)
+    seed_h, r_spec = rng.rand(seed_h)
+    is_specular = (mat["metalness"] >= r_spec).astype(jnp.float32)
+    specular_dir = reflect(rd, normal)
+    blend = (is_specular * (1.0 - mat["roughness"]))[:, None]
+    new_dir = mix(diffuse_dir, specular_dir, blend)  # deliberately unnormalized
+
+    # --- miss branch: environment lookup -----------------------------
+    miss_mask = active & ~hit.hit
+    if env_importance:
+        # The reference's (shipped-disabled) importance-sampled variant,
+        # with the PDF correction applied to the env term only
+        # (raytrace.wgsl:398-404).  Consumes 2 uniforms on miss.
+        seed_m, env_uv = envsample.env_importance_sample(scene.env, seed)
+        pdf = envsample.env_pdf(scene.env, env_uv)
+        env_contrib = (
+            envsample.env_radiance(scene.env, env_uv)
+            * params.env_intensity
+            / pdf[:, None]
+        )
+        seed = jnp.where(miss_mask, seed_m, seed)
+    else:
+        env_uv = envsample.env_uv_from_ray(rd, params.env_rotation)
+        env_contrib = envsample.env_radiance(scene.env, env_uv) * params.env_intensity
+
+    emitted = mat["emission_color"] * mat["emission_strength"][:, None]
+    incoming = incoming + jnp.where(hit_mask[:, None], emitted * color, 0.0)
+    incoming = incoming + jnp.where(miss_mask[:, None], env_contrib * color, 0.0)
+
+    color = jnp.where(
+        hit_mask[:, None],
+        color * mix(mat["color"], mat["specular_color"], is_specular[:, None]),
+        color,
+    )
+    ro = jnp.where(hit_mask[:, None], position, ro)
+    rd = jnp.where(hit_mask[:, None], new_dir, rd)
+    seed = jnp.where(hit_mask, seed_h, seed)
+    active = hit_mask
+
+    return ro, rd, incoming, color, seed, active
 
 
 def render_frame(
