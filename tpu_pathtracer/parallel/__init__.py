@@ -2,6 +2,7 @@
 see SURVEY.md §2 'Parallelism & communication')."""
 
 from .mesh import AXIS_SAMPLES, AXIS_TILES, make_mesh, single_device_mesh
+from .diffshard import invert_sharded, make_sharded_value_and_grad, target_sharding
 from .sharded import (
     acc_sharding,
     make_sharded_frame_step,
@@ -11,6 +12,9 @@ from .sharded import (
 
 __all__ = [
     "AXIS_SAMPLES",
+    "invert_sharded",
+    "make_sharded_value_and_grad",
+    "target_sharding",
     "AXIS_TILES",
     "acc_sharding",
     "make_mesh",
