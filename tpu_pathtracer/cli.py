@@ -101,6 +101,20 @@ def _build_renderer(args):
 
 
 def cmd_render(args) -> int:
+    import contextlib
+
+    import jax
+
+    profile_cm = (
+        jax.profiler.trace(args.profile)
+        if getattr(args, "profile", None)
+        else contextlib.nullcontext()
+    )
+    with profile_cm:
+        return _render_body(args)
+
+
+def _render_body(args) -> int:
     import jax
 
     r = _build_renderer(args)
@@ -246,6 +260,8 @@ def main(argv=None) -> int:
                    help="resume accumulation state from this .npz")
     p.add_argument("--timing", action="store_true",
                    help="per-pass timing meters (reference: src/timing.ts)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler (xprof) trace of the render")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("benchmark", help="measure rays/s (one JSON line)")
