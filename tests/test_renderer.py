@@ -135,3 +135,35 @@ def test_screenshot_roundtrip(tmp_path):
     assert img.shape == (8, 8, 3)
     ref = np.asarray(r.display())[::-1]
     assert np.abs(img.astype(np.float64) / 255.0 - ref).max() < 1 / 255.0 + 1e-3
+
+
+def test_metrics_jsonl(tmp_path):
+    """MetricsLogger mirrors the event bus as JSONL records (SURVEY §5)."""
+    import json
+
+    from tpu_pathtracer.render.metrics import MetricsLogger
+
+    r = _make(frames=3)
+    path = str(tmp_path / "m.jsonl")
+    m = MetricsLogger(r, path=path)
+    r.reset()
+    r.render_all()
+    m.close()
+    records = [json.loads(l) for l in open(path)]
+    events = [rec["event"] for rec in records]
+    assert events.count("progress") == 3
+    assert "reset" in events and "start" in events and "complete" in events
+    prog = [rec for rec in records if rec["event"] == "progress"]
+    assert prog[-1]["progress"] > prog[0]["progress"]
+    assert "rays_per_s" in prog[-1]
+
+
+def test_render_all_auto_checkpoint(tmp_path):
+    r = _make(frames=4)
+    ck = str(tmp_path / "ck.npz")
+    r.reset()
+    r.render_all(checkpoint_path=ck, checkpoint_every=2)
+    import numpy as np
+
+    data = np.load(ck)
+    assert int(data["frame"]) == 5  # final save after completion

@@ -118,6 +118,11 @@ def _render_body(args) -> int:
     import jax
 
     r = _build_renderer(args)
+    metrics = None
+    if getattr(args, "metrics", None):
+        from .render.metrics import MetricsLogger
+
+        metrics = MetricsLogger(r, path=None if args.metrics == "-" else args.metrics)
     if args.resume:
         r.load_state(args.resume)
         print(f"resumed at frame {r.frame}/{args.frames}", file=sys.stderr)
@@ -126,14 +131,19 @@ def _render_body(args) -> int:
 
     t0 = time.perf_counter()
     last_pct = -1
+    ck_every = getattr(args, "checkpoint_every", 0) or 0
     while r.status == "sampling" and r.frame <= args.frames:
         r.render()
+        if args.checkpoint and ck_every and (r.frame - 1) % ck_every == 0:
+            r.save_state(args.checkpoint)
         pct = int(r.progress * 100)
         if pct != last_pct and pct % 10 == 0:
             print(f"  {pct:3d}%  frame {r.frame - 1}/{args.frames} "
                   f"({r.samples} spp)", file=sys.stderr)
             last_pct = pct
     jax.block_until_ready(r.accumulation)
+    if metrics is not None:
+        metrics.close()
     dt = time.perf_counter() - t0
 
     if args.checkpoint:
@@ -262,6 +272,11 @@ def main(argv=None) -> int:
                    help="per-pass timing meters (reference: src/timing.ts)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler (xprof) trace of the render")
+    p.add_argument("--metrics", default=None, metavar="PATH",
+                   help="emit JSONL metrics to PATH ('-' for stderr)")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="with --checkpoint: persist state every N frames "
+                        "(preemption-safe progressive render)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("benchmark", help="measure rays/s (one JSON line)")

@@ -248,12 +248,24 @@ class Renderer:
         self.frame = self._frame + 1
         self.emit("progress", self.progress)
 
-    def render_all(self) -> jax.Array:
-        """Run the full progressive budget; returns the raw accumulation."""
+    def render_all(self, *, checkpoint_path: Optional[str] = None,
+                   checkpoint_every: int = 0) -> jax.Array:
+        """Run the full progressive budget; returns the raw accumulation.
+
+        With `checkpoint_path` + `checkpoint_every=N`, the accumulation
+        state is persisted every N frames — a preempted render resumes at
+        the last checkpoint via `load_state` (elastic-recovery analogue,
+        SURVEY §5 failure detection; the reference can only pause in-memory).
+        """
         if self.status == "idle":
             self.reset()
         while self.status == "sampling" and self._frame <= self._config.frames:
             self.render()
+            if (checkpoint_path and checkpoint_every
+                    and (self._frame - 1) % checkpoint_every == 0):
+                self.save_state(checkpoint_path)
+        if checkpoint_path and checkpoint_every:
+            self.save_state(checkpoint_path)
         return self.accumulation
 
     # ------------------------------------------------------------- output
