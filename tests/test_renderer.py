@@ -167,3 +167,19 @@ def test_render_all_auto_checkpoint(tmp_path):
 
     data = np.load(ck)
     assert int(data["frame"]) == 5  # final save after completion
+
+
+def test_checked_render_clean():
+    """checkify instrumentation: the default render must pass float/index
+    checks (SURVEY §5 sanitizers)."""
+    from tpu_pathtracer.scene.types import Camera, RenderParams
+    from tpu_pathtracer.utils.debug import checked_render_frame
+
+    scene = pt.default_scene(gradient_sky(8, 16)).compile()
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0))
+    err, img = checked_render_frame(
+        scene, RenderParams.create(cam, frame=1),
+        width=8, height=8, aspect=1.0, samples_per_frame=1, max_bounces=2,
+    )
+    assert err.get() is None
+    assert np.isfinite(np.asarray(img)).all()
