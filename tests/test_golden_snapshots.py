@@ -1,0 +1,88 @@
+"""Golden-image snapshot regression tests.
+
+Unlike test_trace_golden.py (which checks the tracer against an independent
+numpy oracle), these pin the EXACT rendered output across code changes:
+small deterministic renders are compared byte-for-byte (after 8-bit
+quantization) against PNGs committed under tests/golden/.
+
+Regenerate intentionally with:
+    python -m pytest tests/test_golden_snapshots.py --regen-golden
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import tpu_pathtracer as pt
+from tpu_pathtracer.io.image import read_png, to_uint8, write_png
+from tpu_pathtracer.scene import primitives
+from tpu_pathtracer.scene.envmap import gradient_sky
+from tpu_pathtracer.scene.host import Material, Mesh, Scene, rotation_x, translation
+from tpu_pathtracer.scene.types import Camera, RenderParams
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _scene():
+    white = Material(color=(1, 1, 1), roughness=1.0, metalness=0.02)
+    red = Material(color=(1, 0.05, 0.05), roughness=1.0, metalness=0.0)
+    mirror = Material(color=(0.9, 0.9, 0.9), roughness=0.05, metalness=0.9)
+    sc = Scene()
+    p, n, i = primitives.plane(5, 5)
+    sc.add(Mesh(p, n, i, white, transform=rotation_x(-math.pi / 2)))
+    p, n, i = primitives.box(0.8, 0.8, 0.8)
+    sc.add(Mesh(p, n, i, red, transform=translation(0, 0.4, 0.5)))
+    p, n, i = primitives.sphere(0.5, 12, 8)
+    sc.add(Mesh(p, n, i, mirror, transform=translation(0, 0.5, -0.6)))
+    sc.set_environment(gradient_sky(32, 64))
+    return sc
+
+
+def _check(request, name: str, img_u8: np.ndarray):
+    path = os.path.join(GOLDEN_DIR, name)
+    if request.config.getoption("--regen-golden", default=False):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        write_png(path, img_u8)
+        pytest.skip(f"regenerated {name}")
+    assert os.path.exists(path), (
+        f"missing golden {name}; run with --regen-golden to create"
+    )
+    golden = read_png(path)[..., :3]
+    # byte-exact after quantization, with a 1-ulp slack for cross-platform
+    # f32 transcendental drift
+    diff = np.abs(img_u8.astype(int) - golden.astype(int))
+    assert diff.max() <= 1, f"{name}: max u8 diff {diff.max()}"
+    assert (diff > 0).mean() < 0.01, f"{name}: {100*(diff>0).mean():.2f}% pixels differ"
+
+
+def _render(frames=8, spp=1, bounces=3, post=None, size=48):
+    cfg = pt.RenderConfig(width=size, height=size, frames=frames,
+                          samples_per_frame=spp, max_bounces=bounces)
+    cam = pt.Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    r = pt.Renderer(_scene(), cam, cfg,
+                    post or pt.PostConfig(denoise=False))
+    r.reset()
+    r.render_all()
+    return to_uint8(np.asarray(r.display())[::-1])
+
+
+def test_snapshot_base(request):
+    _check(request, "base_48.png", _render())
+
+
+def test_snapshot_denoised_reinhard(request):
+    post = pt.PostConfig(denoise=True, tonemap=pt.Tonemap.REINHARD)
+    _check(request, "denoise_reinhard_48.png", _render(post=post))
+
+
+def test_snapshot_dof(request):
+    cfg = pt.RenderConfig(width=48, height=48, frames=8, samples_per_frame=1,
+                          max_bounces=2)
+    cam = pt.Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45,
+                           focal_distance=3.5, aperture=0.25)
+    r = pt.Renderer(_scene(), cam, cfg, pt.PostConfig(denoise=False))
+    r.reset()
+    r.render_all()
+    _check(request, "dof_48.png", to_uint8(np.asarray(r.display())[::-1]))
