@@ -11,6 +11,7 @@ from tpu_pathtracer.io.gltf import GLTFError, load_gltf
 from tpu_pathtracer.io.hdr import _decode_rgbe, _encode_rgbe, read_hdr, write_hdr
 from tpu_pathtracer.io.image import read_png, write_png
 from tpu_pathtracer.scene.host import Material
+from tpu_pathtracer.scene.host import Mesh as Mesh2
 
 
 def test_png_roundtrip(tmp_path):
@@ -260,3 +261,31 @@ def test_glb_renders_end_to_end(tmp_path):
         width=16, height=16, aspect=1.0, samples_per_frame=1, max_bounces=2,
     ))
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_glb_save_load_roundtrip(tmp_path):
+    """save_glb -> load_gltf round trip preserves geometry, transforms, and
+    material factors (export is net-new vs the import-only reference)."""
+    import math
+
+    from tpu_pathtracer.io.gltf import save_glb
+    from tpu_pathtracer.scene import primitives
+    from tpu_pathtracer.scene.host import rotation_y, translation
+
+    p, n, i = primitives.torus_knot(0.5, 0.2, 32, 8)
+    mat = Material(color=(0.9, 0.6, 0.1), roughness=0.3, metalness=0.8,
+                   emission_color=(1, 0.5, 0), emission_strength=2.0)
+    mesh = Mesh2(p, n, i, mat, transform=translation(1, 2, 3) @ rotation_y(0.5))
+    path = str(tmp_path / "knot.glb")
+    save_glb([mesh], path)
+
+    out = load_gltf(path, normalize=False)
+    assert len(out) == 1
+    m2 = out[0]
+    np.testing.assert_allclose(m2.positions, p, rtol=1e-6)
+    np.testing.assert_allclose(m2.normals, n, atol=1e-6)
+    np.testing.assert_array_equal(m2.indices, i.astype(np.int64))
+    np.testing.assert_allclose(m2.transform, mesh.transform, atol=1e-6)
+    assert m2.material.color == pytest.approx((0.9, 0.6, 0.1))
+    assert m2.material.metalness == pytest.approx(0.8)
+    assert m2.material.emission_strength == pytest.approx(2.0)

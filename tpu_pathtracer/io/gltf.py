@@ -259,3 +259,103 @@ def normalize_meshes(meshes: List[Mesh]) -> List[Mesh]:
         Mesh(m.positions, m.normals, m.indices, m.material, transform=fix @ m.transform)
         for m in meshes
     ]
+
+
+def save_glb(meshes, path: str) -> None:
+    """Write meshes to a minimal glTF 2.0 binary (.glb).
+
+    The export counterpart of `load_gltf` (the reference only imports).
+    Each Mesh becomes one node+primitive with POSITION/NORMAL/indices and a
+    pbrMetallicRoughness material; transforms are baked into node matrices.
+    """
+    import json as _json
+    import struct as _struct
+
+    bin_data = b""
+    buffer_views = []
+    accessors = []
+
+    def add_blob(arr, target):
+        nonlocal bin_data
+        arr = np.ascontiguousarray(arr)
+        offset = len(bin_data)
+        bin_data += arr.tobytes()
+        bin_data += b"\x00" * (-len(bin_data) % 4)
+        buffer_views.append({
+            "buffer": 0, "byteOffset": offset, "byteLength": arr.nbytes,
+            "target": target,
+        })
+        return len(buffer_views) - 1
+
+    gltf_meshes, nodes, materials = [], [], []
+    for mi, m in enumerate(meshes):
+        pos = np.asarray(m.positions, np.float32)
+        nrm = np.asarray(m.normals, np.float32)
+        idx = np.asarray(m.indices, np.uint32).reshape(-1)
+
+        bv_p = add_blob(pos, 34962)
+        accessors.append({
+            "bufferView": bv_p, "componentType": 5126, "count": len(pos),
+            "type": "VEC3", "min": pos.min(0).tolist(),
+            "max": pos.max(0).tolist(),
+        })
+        a_p = len(accessors) - 1
+        bv_n = add_blob(nrm, 34962)
+        accessors.append({"bufferView": bv_n, "componentType": 5126,
+                          "count": len(nrm), "type": "VEC3"})
+        a_n = len(accessors) - 1
+        bv_i = add_blob(idx, 34963)
+        accessors.append({"bufferView": bv_i, "componentType": 5125,
+                          "count": len(idx), "type": "SCALAR"})
+        a_i = len(accessors) - 1
+
+        mat = m.material
+        mat_def = {
+            "pbrMetallicRoughness": {
+                "baseColorFactor": list(mat.color) + [1.0],
+                "metallicFactor": float(mat.metalness),
+                "roughnessFactor": float(mat.roughness),
+            },
+        }
+        if mat.emission_strength > 0:
+            mat_def["emissiveFactor"] = [
+                min(1.0, c) for c in mat.emission_color
+            ]
+            mat_def["extensions"] = {"KHR_materials_emissive_strength": {
+                "emissiveStrength": float(mat.emission_strength)}}
+        materials.append(mat_def)
+
+        gltf_meshes.append({"primitives": [{
+            "attributes": {"POSITION": a_p, "NORMAL": a_n},
+            "indices": a_i, "material": mi, "mode": 4,
+        }]})
+        node = {"mesh": mi}
+        t = np.asarray(m.transform, np.float64)
+        if not np.allclose(t, np.eye(4)):
+            node["matrix"] = t.T.reshape(-1).tolist()  # column-major
+        nodes.append(node)
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "tpu_pathtracer"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes,
+        "meshes": gltf_meshes,
+        "materials": materials,
+        "accessors": accessors,
+        "bufferViews": buffer_views,
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    if any("extensions" in m for m in materials):
+        gltf["extensionsUsed"] = ["KHR_materials_emissive_strength"]
+
+    js = _json.dumps(gltf).encode()
+    js += b" " * (-len(js) % 4)
+    glb = (
+        _struct.pack("<III", 0x46546C67, 2,
+                     12 + 8 + len(js) + 8 + len(bin_data))
+        + _struct.pack("<II", len(js), 0x4E4F534A) + js
+        + _struct.pack("<II", len(bin_data), 0x004E4942) + bin_data
+    )
+    with open(path, "wb") as f:
+        f.write(glb)
