@@ -183,3 +183,29 @@ def test_checked_render_clean():
     )
     assert err.get() is None
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sharded_renderer_matches_single_device():
+    """Renderer(shard=ShardConfig(tiles=8)) on the virtual mesh must produce
+    the same progressive image as the single-device renderer."""
+    r0 = _make(frames=3, w=16, h=16)
+    r1 = _make(frames=3, w=16, h=16, shard=pt.ShardConfig(tiles=8))
+    r0.reset(); r0.render_all()
+    r1.reset(); r1.render_all()
+    np.testing.assert_allclose(
+        np.asarray(r1.accumulation), np.asarray(r0.accumulation), atol=1e-6)
+
+
+def test_sharded_renderer_save_load(tmp_path):
+    r = _make(frames=4, w=16, h=16, shard=pt.ShardConfig(tiles=4))
+    r.reset(); r.render(); r.render()
+    p = str(tmp_path / "s.npz")
+    r.save_state(p)
+    r2 = _make(frames=4, w=16, h=16, shard=pt.ShardConfig(tiles=4))
+    r2.load_state(p)
+    assert r2.frame == r.frame
+    np.testing.assert_allclose(
+        np.asarray(r2.accumulation), np.asarray(r.accumulation))
+    r.render_all(); r2.render_all()
+    np.testing.assert_allclose(
+        np.asarray(r2.accumulation), np.asarray(r.accumulation), atol=1e-7)

@@ -45,6 +45,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--aperture", type=float, default=0.0)
     p.add_argument("--env-importance", action="store_true",
                    help="enable CDF importance sampling of the environment")
+    p.add_argument("--shard-tiles", type=int, default=1,
+                   help="shard image rows over this many devices")
+    p.add_argument("--shard-samples", type=int, default=1,
+                   help="shard the per-frame sample budget over this many devices")
 
 
 def _build_scene(args):
@@ -90,9 +94,17 @@ def _build_renderer(args):
         frames=args.frames, samples_per_frame=args.spp, max_bounces=args.bounces,
     )
     post = PostConfig(denoise=args.denoise, tonemap=Tonemap[args.tonemap.upper()])
+    shard = None
+    tiles = getattr(args, "shard_tiles", 1)
+    samples = getattr(args, "shard_samples", 1)
+    if tiles * samples > 1:
+        from . import ShardConfig
+
+        shard = ShardConfig(tiles=tiles, samples=samples)
     r = Renderer(scene, cam, cfg, post,
                  env_importance=args.env_importance,
-                 enable_timing=getattr(args, "timing", False))
+                 enable_timing=getattr(args, "timing", False),
+                 shard=shard)
     import math
 
     r.env_intensity = args.env_intensity

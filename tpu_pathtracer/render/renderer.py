@@ -74,13 +74,27 @@ class Renderer:
         *,
         env_importance: bool = False,
         enable_timing: bool = False,
+        shard=None,
     ) -> None:
+        """`shard`: optional ShardConfig — renders on a ('tiles','samples')
+        device mesh (parallel/): rows shard over tiles (bit-identical to the
+        single-device render), the per-frame sample budget shards over
+        samples with a psum.  Requires tiles*samples <= len(jax.devices())
+        and height % tiles == 0."""
         self.scene = scene
         self.camera = camera
         self._config = config
         self.post = post
         self.env_importance = env_importance
         self.enable_timing = enable_timing
+        self.shard = shard
+        self._mesh = None
+        if shard is not None and shard.num_devices > 1:
+            from ..parallel import make_mesh
+
+            self._mesh = make_mesh(tiles=shard.tiles, samples=shard.samples)
+            if enable_timing:
+                raise ValueError("enable_timing is single-device only")
 
         self.status: str = "idle"
         self._frame: int = 1
@@ -113,16 +127,38 @@ class Renderer:
 
     def _rebuild(self) -> None:
         c = self._config
-        self._step = make_frame_step(
-            c.scaled_width,
-            c.scaled_height,
-            aspect=c.width / c.height,
-            samples_per_frame=c.samples_per_frame,
-            max_bounces=c.max_bounces,
-            accumulate=c.accumulate,
-            env_importance=self.env_importance,
-        )
-        self._acc = jnp.zeros((c.scaled_height, c.scaled_width, 3), jnp.float32)
+        if self._mesh is not None:
+            from ..parallel import make_sharded_frame_step
+
+            self._step = make_sharded_frame_step(
+                self._mesh,
+                width=c.scaled_width,
+                height=c.scaled_height,
+                aspect=c.width / c.height,
+                samples_per_frame=c.samples_per_frame,
+                max_bounces=c.max_bounces,
+                accumulate=c.accumulate,
+                env_importance=self.env_importance,
+            )
+        else:
+            self._step = make_frame_step(
+                c.scaled_width,
+                c.scaled_height,
+                aspect=c.width / c.height,
+                samples_per_frame=c.samples_per_frame,
+                max_bounces=c.max_bounces,
+                accumulate=c.accumulate,
+                env_importance=self.env_importance,
+            )
+        self._acc = self._zero_acc()
+
+    def _zero_acc(self) -> jax.Array:
+        c = self._config
+        if self._mesh is not None:
+            from ..parallel import zeros_acc
+
+            return zeros_acc(self._mesh, c.scaled_height, c.scaled_width)
+        return jnp.zeros((c.scaled_height, c.scaled_width, 3), jnp.float32)
 
     # convenience setters mirroring the Tweakpane bindings (main.ts:167-349);
     # each resets the progressive render like the reference UI does.
@@ -188,8 +224,7 @@ class Renderer:
             self.emit("pause")
 
     def reset(self, *, keep_paused: bool = False) -> None:
-        c = self._config
-        self._acc = jnp.zeros((c.scaled_height, c.scaled_width, 3), jnp.float32)
+        self._acc = self._zero_acc()
         self._frame = 1
         self.emit("reset")
         if not (keep_paused and self.status == "paused"):
@@ -309,5 +344,9 @@ class Renderer:
     def load_state(self, path: str) -> None:
         data = np.load(path)
         self._acc = jnp.asarray(data["acc"])
+        if self._mesh is not None:
+            from ..parallel import acc_sharding
+
+            self._acc = jax.device_put(self._acc, acc_sharding(self._mesh))
         self._frame = int(data["frame"])
         self.status = "sampling" if self._frame <= self._config.frames else "idle"
