@@ -26,40 +26,16 @@ def log(*a):
 
 
 def _bench_step(step, scene_data, cam, H, W, spp, bounces, frames, reps):
-    import jax
-    import jax.numpy as jnp
+    from tpu_pathtracer.render.benchmark import bench_step
 
-    from tpu_pathtracer.scene.types import RenderParams
-
-    def run(n, acc, f0):
-        for i in range(n):
-            acc = step(scene_data, RenderParams.create(cam, frame=f0 + i), acc)
-        return jax.block_until_ready(acc)
-
-    acc = jnp.zeros((H, W, 3), jnp.float32)
-    t0 = time.perf_counter()
-    acc = run(2, acc, 1)  # compile + warm-up
-    compile_s = time.perf_counter() - t0
-    best = float("inf")
-    for rep in range(reps):
-        t0 = time.perf_counter()
-        acc = run(frames, acc, 3 + rep * frames)
-        best = min(best, time.perf_counter() - t0)
-    rays = W * H * spp * bounces * frames
-    return rays / best, compile_s, best
+    return bench_step(step, scene_data, cam, width=W, height=H, spp=spp,
+                      bounces=bounces, frames=frames, reps=reps)
 
 
 def _make_step(W, H, spp, bounces):
-    import jax
+    from tpu_pathtracer.render.benchmark import make_step
 
-    from tpu_pathtracer.ops.trace import accumulate, render_frame
-
-    def step(scene_d, params, acc):
-        img = render_frame(scene_d, params, width=W, height=H, aspect=1.0,
-                           samples_per_frame=spp, max_bounces=bounces)
-        return accumulate(acc, img, params.frame, enabled=True)
-
-    return jax.jit(step, donate_argnums=(2,))
+    return make_step(W, H, spp, bounces, aspect=1.0)
 
 
 def headline(reps=5):
@@ -158,12 +134,9 @@ def main() -> None:
     if "--full" in sys.argv:
         full_sweep()
     rays_s = headline()
-    print(json.dumps({
-        "metric": f"bvh_traversal_rays_per_s_{backend}",
-        "value": rays_s,
-        "unit": "rays/s",
-        "vs_baseline": rays_s / 1e9,
-    }))
+    from tpu_pathtracer.render.benchmark import headline_record
+
+    print(json.dumps(headline_record(rays_s, backend)))
 
 
 if __name__ == "__main__":

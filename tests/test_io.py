@@ -289,3 +289,28 @@ def test_glb_save_load_roundtrip(tmp_path):
     assert m2.material.color == pytest.approx((0.9, 0.6, 0.1))
     assert m2.material.metalness == pytest.approx(0.8)
     assert m2.material.emission_strength == pytest.approx(2.0)
+
+
+def test_gltf_no_scenes_key_roots(tmp_path):
+    """Without a 'scenes' key, roots are nodes unreferenced as children —
+    child meshes must not be emitted twice."""
+    import json as _json
+    import struct as _struct
+
+    path = _make_glb(tmp_path)
+    data = bytearray(open(path, "rb").read())
+    jlen, = _struct.unpack_from("<I", data, 12)
+    js = _json.loads(bytes(data[20:20 + jlen]))
+    del js["scenes"]; del js["scene"]
+    # parent node with a transform; the mesh node becomes its child
+    js["nodes"] = [{"children": [1], "translation": [5, 0, 0]},
+                   {"mesh": 0}]
+    njs = _json.dumps(js).encode(); njs += b" " * (-len(njs) % 4)
+    bin_part = bytes(data[20 + jlen:])
+    out = (_struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(njs) + len(bin_part))
+           + _struct.pack("<II", len(njs), 0x4E4F534A) + njs + bin_part)
+    p2 = tmp_path / "noscene.glb"
+    p2.write_bytes(out)
+    meshes = load_gltf(str(p2), normalize=False)
+    assert len(meshes) == 1  # emitted once, via the parent
+    np.testing.assert_allclose(meshes[0].transform[:3, 3], [5, 0, 0])

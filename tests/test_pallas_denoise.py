@@ -31,4 +31,6 @@ def test_pallas_denoise_constant_image():
 def test_supported_predicate():
     assert supported(512, 512)
     assert supported(1080, 1920)
-    assert not supported(512, 500)
+    assert not supported(512, 500)      # width not lane-aligned
+    assert not supported(100, 512)      # height not sublane-aligned
+    assert not supported(8, 128, sigma=10.0)  # halo (16) exceeds height

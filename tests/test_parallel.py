@@ -137,7 +137,7 @@ def test_sharded_grads_match_unsharded(scene_data):
     l_ref, g_ref = jax.value_and_grad(loss_p)(values)
 
     mesh = make_mesh(tiles=8, samples=1)
-    vg = make_sharded_value_and_grad(mesh, scene_data, params, paths, **kw)
+    vg = make_sharded_value_and_grad(mesh, scene_data, params, **kw)
     tgt_sharded = jax.device_put(target, target_sharding(mesh))
     l_sh, g_sh = vg(values, tgt_sharded)
 
@@ -194,3 +194,25 @@ def test_multihost_helpers_single_process(scene_data):
     present, got = fetch_rows(arr)
     assert present.all()  # single process owns every row
     np.testing.assert_array_equal(got, data)
+
+
+def test_sharded_render_all_matches_stepwise(scene_data):
+    """The whole-budget fori_loop path must equal frame-by-frame stepping."""
+    from tpu_pathtracer.parallel import make_sharded_render_all
+
+    mesh = make_mesh(tiles=4, samples=1)
+    frames = 3
+    render_all = make_sharded_render_all(
+        mesh, width=W, height=H, aspect=ASPECT, frames=frames,
+        samples_per_frame=1, max_bounces=2,
+    )
+    acc_all = np.asarray(render_all(scene_data, _params(1)))
+
+    step = make_sharded_frame_step(
+        mesh, width=W, height=H, aspect=ASPECT, samples_per_frame=1,
+        max_bounces=2,
+    )
+    acc = zeros_acc(mesh, H, W)
+    for f in range(1, frames + 1):
+        acc = step(scene_data, _params(f), acc)
+    np.testing.assert_allclose(acc_all, np.asarray(acc), atol=1e-6)

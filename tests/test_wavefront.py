@@ -46,10 +46,14 @@ def test_wavefront_matches_megakernel(scene_data, sort_rays, chunk):
     np.testing.assert_allclose(wave, mega, atol=1e-6, rtol=1e-6)
 
 
-def test_wavefront_chunk_validation(scene_data):
-    with pytest.raises(ValueError):
-        render_frame_wavefront(scene_data, _params(), width=10, height=10,
-                               aspect=1.0, chunk=64)
+def test_wavefront_pads_to_chunk_multiple(scene_data):
+    """Ray counts that don't divide the chunk are padded with inactive rays
+    and still match the megakernel exactly."""
+    kw = dict(width=10, height=10, aspect=1.0, samples_per_frame=1, max_bounces=2)
+    mega = np.asarray(render_frame(scene_data, _params(), **kw))
+    wave = np.asarray(render_frame_wavefront(
+        scene_data, _params(), chunk=64, sort_rays=True, **kw))
+    np.testing.assert_allclose(wave, mega, atol=1e-6, rtol=1e-6)
 
 
 def test_wavefront_deep_bounces(scene_data):

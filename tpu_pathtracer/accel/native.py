@@ -20,9 +20,23 @@ from typing import Dict, Optional
 
 import numpy as np
 
-_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
-_SRC = os.path.abspath(os.path.join(_CSRC, "bvh_builder.cpp"))
-_BUILD_DIR = os.path.abspath(os.path.join(_CSRC, "build"))
+def _find_src() -> Optional[str]:
+    """Locate bvh_builder.cpp: repo layout (csrc/ at the repo root) first,
+    then the in-package copy shipped with wheels/sdists."""
+    here = os.path.dirname(__file__)
+    for cand in (
+        os.path.join(here, "..", "..", "csrc", "bvh_builder.cpp"),
+        os.path.join(here, "_csrc", "bvh_builder.cpp"),
+    ):
+        cand = os.path.abspath(cand)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+_SRC = _find_src()
+_BUILD_DIR = (os.path.join(os.path.dirname(_SRC), "build") if _SRC
+              else os.path.join(os.path.dirname(__file__), "build"))
 _SO = os.path.join(_BUILD_DIR, "libtpu_pt.so")
 
 _lock = threading.Lock()
@@ -54,7 +68,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if os.environ.get("TPU_PT_NO_NATIVE"):
             return None
         try:
-            if not os.path.exists(_SRC):
+            if _SRC is None:
+                print("[tpu_pathtracer] native BVH source not found; "
+                      "using the slower numpy builder", file=sys.stderr)
                 return None
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
@@ -62,6 +78,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     return None
             lib = ctypes.CDLL(_SO)
         except OSError:
+            print("[tpu_pathtracer] native BVH build unavailable; "
+                  "using the slower numpy builder", file=sys.stderr)
             return None
 
         i64, f32p, i32p = (

@@ -141,19 +141,24 @@ def _render_body(args) -> int:
     else:
         r.reset()
 
-    t0 = time.perf_counter()
-    last_pct = -1
-    ck_every = getattr(args, "checkpoint_every", 0) or 0
-    while r.status == "sampling" and r.frame <= args.frames:
-        r.render()
-        if args.checkpoint and ck_every and (r.frame - 1) % ck_every == 0:
-            r.save_state(args.checkpoint)
-        pct = int(r.progress * 100)
-        if pct != last_pct and pct % 10 == 0:
+    last_pct = [-1]
+
+    def on_progress(progress):
+        pct = int(progress * 100)
+        if pct != last_pct[0] and pct % 10 == 0:
             print(f"  {pct:3d}%  frame {r.frame - 1}/{args.frames} "
                   f"({r.samples} spp)", file=sys.stderr)
-            last_pct = pct
+            last_pct[0] = pct
+
+    unsub = r.on("progress", on_progress)
+    t0 = time.perf_counter()
+    ck_every = getattr(args, "checkpoint_every", 0) or 0
+    r.render_all(
+        checkpoint_path=args.checkpoint if ck_every else None,
+        checkpoint_every=ck_every,
+    )
     jax.block_until_ready(r.accumulation)
+    unsub()
     if metrics is not None:
         metrics.close()
     dt = time.perf_counter() - t0
@@ -174,44 +179,18 @@ def _render_body(args) -> int:
 
 def cmd_benchmark(args) -> int:
     import jax
-    import jax.numpy as jnp
 
-    from .ops.trace import accumulate, render_frame
-    from .scene.types import Camera, RenderParams
+    from .render.benchmark import bench_step, headline_record, make_step
 
     r = _build_renderer(args)
     scene_data = jax.device_put(r.scene_data)
     W, H = r.config.scaled_width, r.config.scaled_height
-
-    def step(scene_d, params, acc):
-        img = render_frame(
-            scene_d, params, width=W, height=H, aspect=args.width / args.height,
-            samples_per_frame=args.spp, max_bounces=args.bounces,
-        )
-        return accumulate(acc, img, params.frame, enabled=True)
-
-    step = jax.jit(step, donate_argnums=(2,))
-    cam = r.camera
-
-    def run(n, acc, f0):
-        for i in range(n):
-            acc = step(scene_data, RenderParams.create(cam, frame=f0 + i), acc)
-        return jax.block_until_ready(acc)
-
-    acc = jnp.zeros((H, W, 3), jnp.float32)
-    acc = run(2, acc, 1)
-    best = float("inf")
-    for rep in range(args.reps):
-        t0 = time.perf_counter()
-        acc = run(args.frames, acc, 3 + rep * args.frames)
-        best = min(best, time.perf_counter() - t0)
-    rays = W * H * args.spp * args.bounces * args.frames
-    print(json.dumps({
-        "metric": f"bvh_traversal_rays_per_s_{jax.default_backend()}",
-        "value": rays / best,
-        "unit": "rays/s",
-        "vs_baseline": rays / best / 1e9,
-    }))
+    step = make_step(W, H, args.spp, args.bounces, aspect=args.width / args.height)
+    rays_s, _, _ = bench_step(
+        step, scene_data, r.camera, width=W, height=H, spp=args.spp,
+        bounces=args.bounces, frames=args.frames, reps=args.reps,
+    )
+    print(json.dumps(headline_record(rays_s, jax.default_backend())))
     return 0
 
 

@@ -225,8 +225,14 @@ def load_gltf(
         for child in node.get("children", []):
             walk(child, parent=world)
 
-    scene_def = gltf.get("scenes", [{}])[gltf.get("scene", 0)]
-    roots = scene_def.get("nodes", range(len(gltf.get("nodes", []))))
+    all_nodes = gltf.get("nodes", [])
+    if "scenes" in gltf:
+        scene_def = gltf["scenes"][gltf.get("scene", 0)]
+        roots = scene_def.get("nodes", [])
+    else:
+        # no scene: roots are the nodes that no other node claims as a child
+        children = {c for n in all_nodes for c in n.get("children", [])}
+        roots = [i for i in range(len(all_nodes)) if i not in children]
     for r in roots:
         walk(r, parent=np.eye(4))
 

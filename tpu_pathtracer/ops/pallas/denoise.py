@@ -83,8 +83,14 @@ def _denoise_kernel(img_ref, out_ref, scratch, sem, *, taps, band, halo,
         out_ref[c, :, :] = a[c] * inv_z
 
 
-def supported(height: int, width: int) -> bool:
-    return width % 128 == 0 and height >= 8
+def supported(height: int, width: int, k_sigma: float = 1.0,
+              sigma: float = 5.0) -> bool:
+    """The kernel needs a lane-aligned width and enough rows to build the
+    sublane-aligned wrap halo (halo = radius rounded up to 8)."""
+    radius = int(round(k_sigma * sigma))
+    halo = -(-radius // 8) * 8
+    # height % 8: the row-band DMA slices must be sublane-tile aligned
+    return width % 128 == 0 and height % 8 == 0 and height >= halo
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "k_sigma", "threshold"))

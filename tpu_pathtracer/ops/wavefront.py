@@ -16,8 +16,12 @@ bounce into stages (SURVEY.md §7 layer C, BASELINE.json configs[3]):
      radiance and RNG streams are IDENTICAL to the megakernel — sorting
      only permutes lanes, every per-ray stream is preserved.
 
-Use for deep-bounce / large-mesh configs; the megakernel remains faster for
-small scenes where sorting overhead dominates.
+Status (measured, docs/DESIGN_NOTES.md): on TPU the per-bounce argsort +
+state permutation swamps the coherence benefit — the megakernel is ~4
+orders of magnitude faster there.  This module is the semantically-exact
+wavefront formulation (bit-identical images), verified on CPU, kept as the
+capability surface for deep-bounce configs and as the base for a future
+in-kernel compaction design; do not dispatch it on TPU.
 """
 
 from __future__ import annotations
@@ -134,18 +138,26 @@ def trace_rays_wavefront(scene, params, ro, rd, seed, *, max_bounces: int,
     permutes lane order and is undone on return).
     """
     R = ro.shape[0]
-    if R % chunk != 0:
-        raise ValueError(f"ray count {R} must divide by chunk {chunk}")
+    pad = (-R) % chunk
+    if pad:
+        # pad with inactive rays (they pre-terminate in the chunked
+        # intersect, costing one loop-condition check per chunk)
+        z3 = jnp.zeros((pad, 3), jnp.float32)
+        ro = jnp.concatenate([ro, z3])
+        rd = jnp.concatenate([rd, jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], jnp.float32), (pad, 3))])
+        seed = jnp.concatenate([seed, jnp.zeros((pad,), seed.dtype)])
+    RP = R + pad
 
     nodes = scene.packed.nodes
     scene_min = nodes[0, 0:3]
     scene_max = nodes[0, 3:6]
 
-    incoming = jnp.zeros((R, 3), jnp.float32)
-    color = jnp.ones((R, 3), jnp.float32)
-    active = jnp.ones((R,), bool)
+    incoming = jnp.zeros((RP, 3), jnp.float32)
+    color = jnp.ones((RP, 3), jnp.float32)
+    active = (jnp.arange(RP) < R) if pad else jnp.ones((RP,), bool)
     # lane[i] = original ray id currently living in slot i
-    lane = jnp.arange(R, dtype=jnp.int32)
+    lane = jnp.arange(RP, dtype=jnp.int32)
 
     state = (ro, rd, incoming, color, seed, active, lane)
 
@@ -169,8 +181,9 @@ def trace_rays_wavefront(scene, params, ro, rd, seed, *, max_bounces: int,
     ro, rd, incoming, color, seed, active, lane = jax.lax.fori_loop(
         0, max_bounces, body, state
     )
-    # un-permute back to original ray order
-    inv = jnp.zeros((R,), jnp.int32).at[lane].set(jnp.arange(R, dtype=jnp.int32))
+    # un-permute back to original ray order, dropping any padding lanes
+    inv = jnp.zeros((RP,), jnp.int32).at[lane].set(jnp.arange(RP, dtype=jnp.int32))
+    inv = inv[:R]
     return incoming[inv], seed[inv]
 
 

@@ -37,7 +37,6 @@ def make_sharded_value_and_grad(
     mesh,
     scene,
     params,
-    paths,
     *,
     width: int,
     height: int,
@@ -48,25 +47,20 @@ def make_sharded_value_and_grad(
     """Build f(values, target) -> (loss, grads) where the render + backward
     shard by row bands and gradients psum over the 'tiles' axis.
 
-    `values` is a flat {path: array} dict (diff.api.extract); `target` is the
-    full (H, W, 3) image, sharded per `target_sharding(mesh)` (a replicated
+    `values` is a flat {path: array} dict (diff.api.extract) — its keys
+    alone determine which leaves are differentiated; `target` is the full
+    (H, W, 3) image, sharded per `target_sharding(mesh)` (a replicated
     array works too — shard_map slices it).
     Loss = 0.5 * mean((img - target)^2), matching diff.api.l2_image_loss.
     """
+    from .mesh import shard_map_compat_kwargs
+
     n_tiles = mesh.shape[AXIS_TILES]
     if height % n_tiles != 0:
         raise ValueError(f"height {height} must divide by tile axis {n_tiles}")
     rows = height // n_tiles
     denom = jnp.float32(width * height * 3)
-
-    import inspect
-
-    _kwargs = {}
-    _sig = inspect.signature(shard_map).parameters
-    if "check_vma" in _sig:
-        _kwargs["check_vma"] = False
-    elif "check_rep" in _sig:
-        _kwargs["check_rep"] = False
+    _kwargs = shard_map_compat_kwargs(shard_map)
 
     @partial(
         shard_map,
@@ -118,7 +112,7 @@ def invert_sharded(
     from ..diff.invert import InvertResult
 
     vg = make_sharded_value_and_grad(
-        mesh, scene, params, paths, width=width, height=height, aspect=aspect,
+        mesh, scene, params, width=width, height=height, aspect=aspect,
         samples_per_frame=samples_per_frame, max_bounces=max_bounces,
     )
     target = jax.device_put(target, target_sharding(mesh))

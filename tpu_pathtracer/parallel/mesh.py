@@ -56,3 +56,18 @@ def make_mesh(
 
 def single_device_mesh() -> Mesh:
     return make_mesh(tiles=1, samples=1)
+
+
+def shard_map_compat_kwargs(shard_map_fn) -> dict:
+    """Kwargs disabling the value-varying-axes checker across jax versions
+    (check_vma in jax >= 0.8, check_rep before): the trace loop's while_loop
+    carries start from literals inside the shard and only become
+    axis-varying through the body, which the checker rejects."""
+    import inspect
+
+    params = inspect.signature(shard_map_fn).parameters
+    if "check_vma" in params:
+        return {"check_vma": False}
+    if "check_rep" in params:
+        return {"check_rep": False}
+    return {}

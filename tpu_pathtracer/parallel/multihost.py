@@ -33,14 +33,20 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize with pass-through args; no-op if already
     initialized (safe to call unconditionally at program start)."""
+    if getattr(jax.distributed, "is_initialized", None) and jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except RuntimeError as e:
+        # jax raises "distributed.initialize should only be called once." on
+        # re-init (jax 0.9 _src/distributed.py); older versions said
+        # "already initialized"
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 

@@ -78,19 +78,9 @@ def make_sharded_frame_step(
     rows = height // n_tiles
     spp_local = samples_per_frame // n_samples
 
-    # check_vma=False: the trace loop's while_loop carries are initialized
-    # from literals inside the shard and only become axis-varying through the
-    # body (rays depend on axis_index); the value-varying-axes checker cannot
-    # see that and rejects the carry otherwise.
-    import inspect
+    from .mesh import shard_map_compat_kwargs
 
-    _kwargs = {}
-    _sig = inspect.signature(shard_map).parameters
-    if "check_vma" in _sig:
-        _kwargs["check_vma"] = False
-    elif "check_rep" in _sig:
-        _kwargs["check_rep"] = False
-    _smap = partial(shard_map, mesh=mesh, **_kwargs)
+    _smap = partial(shard_map, mesh=mesh, **shard_map_compat_kwargs(shard_map))
 
     @partial(
         _smap,

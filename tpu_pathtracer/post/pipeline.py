@@ -17,7 +17,8 @@ def _denoise_dispatch(img, config: PostConfig):
     if jax.default_backend() == "tpu":
         from ..ops.pallas.denoise import smart_denoise_pallas, supported
 
-        if supported(img.shape[0], img.shape[1]):
+        if supported(img.shape[0], img.shape[1],
+                     k_sigma=config.denoise_k_sigma, sigma=config.denoise_sigma):
             return smart_denoise_pallas(
                 img, sigma=config.denoise_sigma,
                 k_sigma=config.denoise_k_sigma,
