@@ -45,3 +45,27 @@ def test_pan_moves_target_in_screen_plane():
     assert abs(np.dot(moved, view)) < 1e-9
     assert abs(np.linalg.norm(moved) - 0.5) < 1e-9
     assert abs(o2.radius - o.radius) < 1e-12
+
+
+def test_blue_noise_properties():
+    """Blue-noise ranks: unique, uniform, and high-frequency (low energy at
+    low spatial frequencies vs white noise)."""
+    from tpu_pathtracer.utils.bluenoise import blue_noise
+
+    n = 32
+    bn = blue_noise(n, seed=1)
+    assert bn.shape == (n, n)
+    # every rank unique and uniformly covering [0, 1)
+    assert len(np.unique(bn)) == n * n
+    assert abs(bn.mean() - 0.5) < 1e-6
+
+    def lowfreq_energy(x):
+        f = np.abs(np.fft.fftshift(np.fft.fft2(x - x.mean()))) ** 2
+        c = n // 2
+        r = 4
+        return f[c - r:c + r, c - r:c + r].sum() / f.sum()
+
+    rng = np.random.default_rng(0)
+    white = rng.permutation(n * n).reshape(n, n) / (n * n)
+    # blue noise concentrates energy at high frequencies
+    assert lowfreq_energy(bn) < 0.5 * lowfreq_energy(white)
