@@ -221,8 +221,17 @@ def cmd_invert(args) -> int:
     )
     print(f"optimizing materials.color from random init, {args.steps} steps...",
           file=sys.stderr)
-    res = diff.invert(bad, params, target, ["materials.color"],
-                      steps=args.steps, learning_rate=args.lr, **kw)
+    tiles = getattr(args, "shard_tiles", 1)
+    if tiles > 1:
+        from .parallel import make_mesh
+        from .parallel.diffshard import invert_sharded
+
+        res = invert_sharded(
+            make_mesh(tiles=tiles, samples=1), bad, params, target,
+            ["materials.color"], steps=args.steps, learning_rate=args.lr, **kw)
+    else:
+        res = diff.invert(bad, params, target, ["materials.color"],
+                          steps=args.steps, learning_rate=args.lr, **kw)
     true_c = np.asarray(scene_data.materials.color)
     rec = np.asarray(res.values["materials.color"])
     err = float(np.abs(rec - true_c).max())
