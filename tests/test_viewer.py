@@ -1,0 +1,195 @@
+"""Interactive viewer: session state machine + HTTP endpoint tests.
+
+Covers the reference's L6 app-shell contract (src/main.ts): param panel
+updates reset the progressive render, orbit drag moves the camera, the
+progressive image streams with a monotonically increasing version, and
+scene/env import replaces the world (main.ts:246-302).
+"""
+
+import io
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpu_pathtracer.config import PostConfig, RenderConfig
+from tpu_pathtracer.viewer import ViewerServer, ViewerSession
+from tpu_pathtracer.viewer.session import PARAM_SPEC
+
+
+def _tiny_session(frames=4):
+    cfg = RenderConfig(width=32, height=32, scaling_factor=1.0, frames=frames,
+                       samples_per_frame=1, max_bounces=2)
+    return ViewerSession(config=cfg, post=PostConfig(denoise=False))
+
+
+def _wait(pred, timeout=60.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return False
+
+
+class TestSession:
+    def test_progressive_loop_completes(self):
+        s = _tiny_session(frames=3)
+        events = []
+        s.renderer.on("complete", lambda *a: events.append("complete"))
+        s.start()
+        try:
+            assert _wait(lambda: s.renderer.status == "idle")
+            assert events == ["complete"]
+            assert s.renderer.frame == 4  # 1-based counter past the budget
+            v, png = s.frame_png()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            assert v == s.version
+        finally:
+            s.stop()
+
+    def test_param_update_resets(self):
+        s = _tiny_session()
+        s.start()
+        try:
+            assert _wait(lambda: s.renderer.frame >= 2)
+            s.apply_params({"bounces": 1})
+            st = s.state()
+            assert st["params"]["bounces"] == 1
+            assert st["frame"] <= 2  # reset happened
+            s.apply_params({"tonemap": "reinhard", "denoise": True,
+                            "env_intensity": 2.0})
+            p = s.state()["params"]
+            assert p["tonemap"] == "reinhard"
+            assert p["denoise"] is True
+            assert p["env_intensity"] == 2.0
+        finally:
+            s.stop()
+
+    def test_camera_orbit_changes_image(self):
+        s = _tiny_session(frames=2)
+        s.start()
+        try:
+            assert _wait(lambda: s.renderer.status == "idle")
+            _, png_a = s.frame_png()
+            s.apply_camera({"rotate": [1.2, 0.1], "zoom": 1.3})
+            assert _wait(lambda: s.renderer.status == "idle")
+            _, png_b = s.frame_png()
+            assert png_a != png_b
+        finally:
+            s.stop()
+
+    def test_scene_and_env_switch(self):
+        s = _tiny_session(frames=2)
+        s.set_scene("torus-knot")
+        assert s.state()["scene_stats"]["triangles"] > 1000
+        s.set_env("black")
+        assert s.state()["params"]["env"] == "black"
+        with pytest.raises(ValueError):
+            s.set_scene("nope")
+
+    def test_control_actions(self):
+        s = _tiny_session()
+        s.control("pause") if s.renderer.status == "sampling" else None
+        s.control("start")
+        assert s.renderer.status == "sampling"
+        s.control("pause")
+        assert s.renderer.status == "paused"
+        s.control("reset")
+        assert s.renderer.frame == 1
+        with pytest.raises(ValueError):
+            s.control("explode")
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ViewerServer(session=_tiny_session(frames=4), port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(srv.url.rstrip("/") + path, timeout=30) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def _post(srv, path, body: bytes):
+    req = urllib.request.Request(srv.url.rstrip("/") + path, data=body,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+class TestServer:
+    def test_page(self, server):
+        status, body, headers = _get(server, "/")
+        assert status == 200
+        assert b"tpu-pathtracer" in body
+        assert "text/html" in headers["Content-Type"]
+
+    def test_spec_and_state(self, server):
+        status, body, _ = _get(server, "/spec")
+        assert json.loads(body) == PARAM_SPEC
+        status, body, _ = _get(server, "/state")
+        st = json.loads(body)
+        assert st["status"] in ("sampling", "paused", "idle")
+        assert set(st["params"]) == {s["name"] for s in PARAM_SPEC}
+
+    def test_frame_png(self, server):
+        assert _wait(lambda: server.session.version > 0)
+        status, body, headers = _get(server, "/frame.png")
+        assert status == 200
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        assert int(headers["X-Frame-Version"]) >= 1
+
+    def test_post_params_and_camera(self, server):
+        status, out = _post(server, "/params", b'{"fov": 60}')
+        assert status == 200 and out["params"]["fov"] == 60
+        status, out = _post(server, "/camera", b'{"zoom": 1.1}')
+        assert status == 200 and out["ok"]
+        status, out = _post(server, "/control", b'{"action": "pause"}')
+        assert out["status"] == "paused"
+        _post(server, "/control", b'{"action": "start"}')
+
+    def test_bad_requests(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/params", b'{"tonemap": "bogus"}')
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, "/nope")
+        assert e.value.code == 404
+
+    def test_upload_env_hdr(self, server):
+        from tpu_pathtracer.io.hdr import write_hdr
+        import tempfile, os
+
+        env = np.random.default_rng(0).uniform(0, 2, (16, 32, 3)).astype(np.float32)
+        with tempfile.NamedTemporaryFile(suffix=".hdr", delete=False) as f:
+            path = f.name
+        write_hdr(path, env)
+        with open(path, "rb") as f:
+            data = f.read()
+        os.unlink(path)
+        status, out = _post(server, "/upload/env", data)
+        assert status == 200 and out["ok"]
+
+    def test_upload_scene_glb(self, server):
+        from tpu_pathtracer.io.gltf import save_glb
+        from tpu_pathtracer.scene import primitives
+        from tpu_pathtracer.scene.host import Material, Mesh
+        import tempfile, os
+
+        p, n, idx = primitives.sphere(0.5, 8, 8)
+        mesh = Mesh(p, n, idx, Material(color=(1, 1, 1)))
+        with tempfile.NamedTemporaryFile(suffix=".glb", delete=False) as f:
+            path = f.name
+        save_glb([mesh], path)
+        with open(path, "rb") as f:
+            data = f.read()
+        os.unlink(path)
+        status, out = _post(server, "/upload/scene", data)
+        assert status == 200
+        assert out["scene_stats"]["triangles"] > 0

@@ -244,6 +244,58 @@ def cmd_invert(args) -> int:
     return 0 if res.final_loss < res.losses[0] * 0.5 else 1
 
 
+def cmd_view(args) -> int:
+    """Interactive viewer (the reference's browser app, src/main.ts)."""
+    import math
+
+    from .config import PostConfig, RenderConfig, ShardConfig, Tonemap
+    from .utils.orbit import OrbitCamera
+    from .viewer import ViewerSession, serve
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, scaling_factor=args.scale,
+        frames=args.frames, samples_per_frame=args.spp,
+        max_bounces=args.bounces,
+    )
+    post = PostConfig(denoise=args.denoise, tonemap=Tonemap[args.tonemap.upper()])
+    shard = None
+    if args.shard_tiles * args.shard_samples > 1:
+        shard = ShardConfig(tiles=args.shard_tiles, samples=args.shard_samples)
+    scene = None
+    if args.scene != "default":
+        from .io.gltf import load_gltf, normalize_meshes
+        from .scene.host import Scene
+
+        scene = Scene()
+        for m in normalize_meshes(load_gltf(args.scene)):
+            scene.add(m)
+    orbit = OrbitCamera(
+        target=tuple(args.look_at),
+        radius=float(np_norm(args.camera_position, args.look_at)),
+        fov=args.fov, focal_distance=args.focal_distance,
+        aperture=args.aperture,
+    )
+    session = ViewerSession(config=cfg, post=post, scene=scene, orbit=orbit,
+                            shard=shard)
+    if args.env != "gradient":
+        if args.env == "black":
+            session.set_env("black")
+        else:
+            with open(args.env, "rb") as f:
+                session.load_env_hdr(f.read(), name=args.env)
+    if args.env_intensity != 1.0 or args.env_rotation != 0.0:
+        session.renderer.env_intensity = args.env_intensity
+        session.renderer.env_rotation = math.radians(args.env_rotation)
+    serve(host=args.host, port=args.port, session=session)
+    return 0
+
+
+def np_norm(a, b) -> float:
+    import numpy as np
+
+    return float(np.linalg.norm(np.asarray(a, float) - np.asarray(b, float)))
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -290,6 +342,12 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=5e-2)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_invert)
+
+    p = sub.add_parser("view", help="interactive viewer (browser page)")
+    _add_render_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8790)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("info", help="device diagnostic")
     p.set_defaults(fn=cmd_info)

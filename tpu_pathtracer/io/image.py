@@ -18,8 +18,8 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     return np.clip(np.asarray(img, np.float32) * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
-def write_png(path: str, img: np.ndarray, flip_vertical: bool = False) -> None:
-    """img: (H, W, 3) float [0,1] or uint8."""
+def encode_png(img: np.ndarray, flip_vertical: bool = False) -> bytes:
+    """Encode (H, W, 3) float [0,1] or uint8 image to PNG bytes."""
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         arr = to_uint8(arr)
@@ -41,14 +41,18 @@ def write_png(path: str, img: np.ndarray, flip_vertical: bool = False) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, img: np.ndarray, flip_vertical: bool = False) -> None:
+    """img: (H, W, 3) float [0,1] or uint8."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(img, flip_vertical=flip_vertical))
 
 
 def read_png(path: str) -> np.ndarray:
