@@ -26,7 +26,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="default",
                    help="'default' (plane+box+sphere, src/main.ts:49-75) or a .glb/.gltf path")
     p.add_argument("--env", default="gradient",
-                   help="'gradient', 'black', or a .hdr path")
+                   help="'gradient', 'black', 'sky[:elevation=30,azimuth=90,"
+                        "turbidity=3]' (Preetham sun-sky), or a .hdr path")
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--scale", type=float, default=1.0,
@@ -62,6 +63,10 @@ def _build_scene(args):
         env = gradient_sky(512, 1024)
     elif args.env == "black":
         env = np.zeros((8, 16, 3), np.float32)
+    elif args.env == "sky" or args.env.startswith("sky:"):
+        from .scene.sky import parse_sky_spec, sun_sky
+
+        env = sun_sky(512, 1024, **parse_sky_spec(args.env))
     else:
         env = read_hdr(args.env)
 
@@ -166,7 +171,15 @@ def _render_body(args) -> int:
     if args.checkpoint:
         r.save_state(args.checkpoint)
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
-    r.screenshot(args.output)
+    if args.output.endswith(".hdr"):
+        # linear radiance export at render resolution (no tonemap/denoise)
+        import numpy as np
+
+        from .io.hdr import write_hdr
+
+        write_hdr(args.output, np.asarray(r.accumulation)[::-1])
+    else:
+        r.screenshot(args.output)
     spp = args.frames * args.spp
     print(f"{args.output}: {args.width}x{args.height} {spp}spp in {dt:.2f}s "
           f"({r.config.scaled_width * r.config.scaled_height * spp / dt / 1e6:.3f} "

@@ -41,7 +41,9 @@ PARAM_SPEC = [
     {"name": "accumulate", "kind": "bool", "label": "Accumulate"},
     {"name": "scene", "kind": "select", "options": ["default", "torus-knot"],
      "label": "Scene"},
-    {"name": "env", "kind": "select", "options": ["gradient", "black"],
+    {"name": "env", "kind": "select",
+     "options": ["gradient", "sky", "sky:elevation=10,turbidity=5",
+                 "sky:elevation=60,turbidity=2", "black"],
      "label": "Environment"},                                  # main.ts:209-219
     {"name": "env_intensity", "kind": "range", "min": 0.0, "max": 4.0,
      "step": 0.01, "label": "Env intensity"},                  # main.ts:224
@@ -325,6 +327,10 @@ class ViewerSession:
                 self._env = gradient_sky(512, 1024)
             elif name == "black":
                 self._env = np.zeros((8, 16, 3), np.float32)
+            elif name == "sky" or name.startswith("sky:"):
+                from ..scene.sky import parse_sky_spec, sun_sky
+
+                self._env = sun_sky(512, 1024, **parse_sky_spec(name))
             else:
                 raise ValueError(f"unknown env {name!r}")
             self._env_name = name
