@@ -1,0 +1,131 @@
+"""Draco codec (csrc/draco_codec.cpp via io/draco.py) + glTF integration.
+
+The reference decodes KHR_draco_mesh_compression through a vendored WASM
+decoder (reference: public/static/draco/, src/main.ts:258-260); here the
+codec is a from-scratch C++ implementation of the Draco sequential method,
+validated by byte-level header checks, lossless/quantized round-trips, and
+GLB export -> import parity.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_pathtracer.io import draco
+from tpu_pathtracer.io.gltf import load_gltf, save_glb
+from tpu_pathtracer.scene.host import Material, Mesh
+from tpu_pathtracer.scene import primitives
+
+pytestmark = pytest.mark.skipif(
+    not draco.available(), reason="native draco codec unavailable"
+)
+
+
+def _mesh(n=500, f=900, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = (rng.standard_normal((n, 3)) * 2).astype(np.float32)
+    nrm = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    idx = rng.integers(0, n, (f, 3)).astype(np.uint32)
+    return pos, nrm, idx
+
+
+def test_header_bytes():
+    pos, nrm, idx = _mesh()
+    blob = draco.encode(pos, idx, nrm)
+    # "DRACO", version 2.2, TRIANGULAR_MESH, MESH_SEQUENTIAL_ENCODING, flags 0
+    assert blob[:5] == b"DRACO"
+    assert list(blob[5:11]) == [2, 2, 1, 0, 0, 0]
+
+
+def test_lossless_roundtrip():
+    pos, nrm, idx = _mesh()
+    blob = draco.encode(pos, idx, nrm, position_bits=0, normal_bits=0)
+    dec = draco.decode(blob)
+    assert dec["num_points"] == len(pos)
+    assert np.array_equal(dec["indices"], idx.astype(np.int64))
+    by_id = {a["unique_id"]: a for a in dec["attributes"]}
+    assert by_id[0]["name"] == "POSITION"
+    assert by_id[1]["name"] == "NORMAL"
+    assert np.array_equal(by_id[0]["values"], pos)
+    assert np.array_equal(by_id[1]["values"], nrm)
+
+
+def test_quantized_roundtrip_error_bound():
+    pos, nrm, idx = _mesh(seed=3)
+    blob = draco.encode(pos, idx, nrm, position_bits=14, normal_bits=10)
+    dec = draco.decode(blob)
+    by_id = {a["unique_id"]: a for a in dec["attributes"]}
+    ext = float((pos.max(0) - pos.min(0)).max())
+    # round-to-nearest quantization: error <= half a quantization step
+    assert np.abs(by_id[0]["values"] - pos).max() <= ext / (2**14 - 1) * 0.51
+    assert np.abs(by_id[1]["values"] - nrm).max() <= 2 / (2**10 - 1) * 0.51
+    assert np.array_equal(dec["indices"], idx.astype(np.int64))
+    # quantization actually compresses vs raw arrays
+    assert len(blob) < pos.nbytes + nrm.nbytes + idx.nbytes
+
+
+def test_positions_only():
+    pos, _nrm, idx = _mesh()
+    blob = draco.encode(pos, idx, position_bits=0)
+    dec = draco.decode(blob)
+    assert len(dec["attributes"]) == 1
+    assert np.array_equal(dec["attributes"][0]["values"], pos)
+
+
+def test_wide_index_paths():
+    # >=2^16 points exercises the varUI32 connectivity branch
+    n = 70000
+    rng = np.random.default_rng(1)
+    pos = rng.standard_normal((n, 3)).astype(np.float32)
+    idx = rng.integers(0, n, (100, 3)).astype(np.uint32)
+    dec = draco.decode(draco.encode(pos, idx, position_bits=0))
+    assert np.array_equal(dec["indices"], idx.astype(np.int64))
+    assert np.array_equal(dec["attributes"][0]["values"], pos)
+
+
+def test_edgebreaker_stream_raises_clear_error():
+    pos, nrm, idx = _mesh()
+    blob = bytearray(draco.encode(pos, idx, nrm))
+    blob[8] = 1  # encoder_method -> MESH_EDGEBREAKER_ENCODING
+    with pytest.raises(draco.DracoError, match="EDGEBREAKER"):
+        draco.decode(bytes(blob))
+
+
+def test_truncated_stream_raises():
+    pos, nrm, idx = _mesh()
+    blob = draco.encode(pos, idx, nrm)
+    with pytest.raises(draco.DracoError):
+        draco.decode(blob[: len(blob) // 2])
+
+
+def test_glb_draco_roundtrip(tmp_path):
+    v, n, f = primitives.sphere(0.5, 24, 12)
+    mesh = Mesh(v, n, f, Material(color=(0.8, 0.3, 0.2), roughness=0.4))
+    path_raw = str(tmp_path / "raw.glb")
+    path_drc = str(tmp_path / "drc.glb")
+    save_glb([mesh], path_raw)
+    save_glb([mesh], path_drc, draco=True,
+             draco_position_bits=0, draco_normal_bits=0)
+
+    loaded = load_gltf(path_drc, normalize=False)
+    assert len(loaded) == 1
+    got = loaded[0]
+    assert np.array_equal(got.positions, np.asarray(v, np.float32))
+    assert np.array_equal(got.normals, np.asarray(n, np.float32))
+    assert np.array_equal(got.indices, np.asarray(f, np.int64).reshape(-1, 3))
+    assert got.material.color == pytest.approx((0.8, 0.3, 0.2))
+
+
+def test_glb_draco_quantized_smaller(tmp_path):
+    v, n, f = primitives.sphere(0.5, 48, 24)
+    mesh = Mesh(v, n, f, Material())
+    path_raw = str(tmp_path / "raw.glb")
+    path_drc = str(tmp_path / "drc.glb")
+    save_glb([mesh], path_raw)
+    save_glb([mesh], path_drc, draco=True)
+    import os
+
+    assert os.path.getsize(path_drc) < os.path.getsize(path_raw)
+    loaded = load_gltf(path_drc, normalize=False)[0]
+    assert np.abs(loaded.positions - np.asarray(v, np.float32)).max() < 1e-3
+    assert np.abs(loaded.normals - np.asarray(n, np.float32)).max() < 3e-3

@@ -220,25 +220,30 @@ def test_glb_normalize_and_transform(tmp_path):
     assert abs(center[0]) < 1e-6 and abs(center[2]) < 1e-6
 
 
-def test_gltf_draco_gated(tmp_path):
-    path = _make_glb(tmp_path)
+def test_gltf_unsupported_draco_variant_gated(tmp_path):
+    """An edgebreaker-encoded Draco primitive fails with a clear message
+    (only the sequential method is implemented; see tests/test_draco.py for
+    the supported decode paths)."""
     import json as _json
 
-    # rewrite the GLB's JSON chunk to require Draco
-    data = bytearray(open(path, "rb").read())
-    jlen, = struct.unpack_from("<I", data, 12)
-    js = _json.loads(bytes(data[20 : 20 + jlen]))
-    js["extensionsRequired"] = ["KHR_draco_mesh_compression"]
-    njs = _json.dumps(js).encode()
-    njs += b" " * (-len(njs) % 4)
-    bin_part = bytes(data[20 + jlen :])
-    out = (
-        struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(njs) + len(bin_part))
-        + struct.pack("<II", len(njs), 0x4E4F534A) + njs + bin_part
-    )
+    from tpu_pathtracer.io import draco as _draco
+
+    if not _draco.available():
+        pytest.skip("native draco codec unavailable")
+    from tpu_pathtracer.io.gltf import save_glb
+    from tpu_pathtracer.scene import primitives as prims
+    from tpu_pathtracer.scene.host import Material, Mesh
+
+    v, n, f = prims.sphere(0.5, 8, 4)
     p2 = tmp_path / "draco.glb"
-    p2.write_bytes(out)
-    with pytest.raises(GLTFError, match="Draco"):
+    save_glb([Mesh(v, n, f, Material())], str(p2), draco=True)
+    # flip the Draco stream's encoder_method byte to MESH_EDGEBREAKER
+    data = bytearray(p2.read_bytes())
+    at = data.find(b"DRACO")
+    assert at > 0 and data[at + 8] == 0
+    data[at + 8] = 1
+    p2.write_bytes(bytes(data))
+    with pytest.raises(GLTFError, match="decode failed.*EDGEBREAKER"):
         load_gltf(str(p2))
 
 

@@ -10,10 +10,12 @@ non-indexed TRIANGLES primitives, POSITION/NORMAL attributes (flat normals
 computed when absent), interleaved bufferViews (byteStride), data: URIs,
 external .bin files, pbrMetallicRoughness -> Material mapping.
 
-Gated: KHR_draco_mesh_compression raises with a clear message — the
-reference feeds Draco buffers to a vendored third-party WASM decoder
-(public/static/draco/); decode those assets to plain glTF offline (e.g.
-`gltf-pipeline -d`) before import.
+KHR_draco_mesh_compression primitives decode through the native C++ codec
+(csrc/draco_codec.cpp via io/draco.py) — the reference feeds Draco buffers
+to a vendored third-party WASM decoder (public/static/draco/); ours is a
+from-scratch implementation of the sequential encoding method.  Edgebreaker
+/ rANS-compressed streams raise with a clear decode-offline message.
+`save_glb(..., draco=True)` writes Draco-compressed GLBs.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..scene.host import Material, Mesh
+from . import draco as _draco
 
 _COMPONENT_DTYPES = {
     5120: np.int8,
@@ -182,21 +185,45 @@ def load_gltf(
     imported materials to its `white` material (src/main.ts:277-279).
     """
     gltf, buffers = _load_container(path)
-    for ext in gltf.get("extensionsRequired", []):
-        if ext == "KHR_draco_mesh_compression":
-            raise GLTFError(
-                "Draco-compressed glTF requires an offline decode (the "
-                "reference uses a vendored WASM decoder); run e.g. "
-                "`gltf-pipeline -i model.glb -o out.glb -d` first"
-            )
 
     meshes: List[Mesh] = []
+
+    def read_draco_primitive(prim):
+        """Decode a KHR_draco_mesh_compression primitive -> (pos, nrm, idx)."""
+        ext = prim["extensions"]["KHR_draco_mesh_compression"]
+        bv = gltf["bufferViews"][ext["bufferView"]]
+        off = bv.get("byteOffset", 0)
+        blob = bytes(buffers[bv["buffer"]][off : off + bv["byteLength"]])
+        try:
+            dec = _draco.decode(blob)
+        except _draco.DracoError as e:
+            raise GLTFError(
+                f"Draco primitive decode failed: {e}. Unsupported Draco "
+                "variants can be decoded offline, e.g. `gltf-pipeline -i "
+                "model.glb -o out.glb -d`"
+            ) from e
+        by_id = {a["unique_id"]: a for a in dec["attributes"]}
+        amap = ext.get("attributes", {})
+        if "POSITION" not in amap or amap["POSITION"] not in by_id:
+            raise GLTFError("Draco primitive missing POSITION attribute")
+        pos = np.asarray(by_id[amap["POSITION"]]["values"], np.float32)
+        idx = dec["indices"].astype(np.int64)
+        if "NORMAL" in amap and amap["NORMAL"] in by_id:
+            nrm = np.asarray(by_id[amap["NORMAL"]]["values"], np.float32)
+        else:
+            nrm = _flat_normals(pos, idx)
+        return pos, nrm, idx
 
     def emit_primitive(prim, world: np.ndarray):
         if prim.get("mode", 4) != 4:  # TRIANGLES only
             return
         if "extensions" in prim and "KHR_draco_mesh_compression" in prim["extensions"]:
-            raise GLTFError("Draco-compressed primitive; decode offline first")
+            pos, nrm, idx = read_draco_primitive(prim)
+            mat = (material_override if material_override is not None
+                   else _material_from_gltf(gltf["materials"][prim["material"]])
+                   if "material" in prim else Material())
+            meshes.append(Mesh(pos, nrm, idx, mat, transform=world))
+            return
         attrs = prim["attributes"]
         pos = _read_accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
         if "indices" in prim:
@@ -267,12 +294,23 @@ def normalize_meshes(meshes: List[Mesh]) -> List[Mesh]:
     ]
 
 
-def save_glb(meshes, path: str) -> None:
+def save_glb(
+    meshes,
+    path: str,
+    *,
+    draco: bool = False,
+    draco_position_bits: int = 14,
+    draco_normal_bits: int = 10,
+) -> None:
     """Write meshes to a minimal glTF 2.0 binary (.glb).
 
     The export counterpart of `load_gltf` (the reference only imports).
     Each Mesh becomes one node+primitive with POSITION/NORMAL/indices and a
     pbrMetallicRoughness material; transforms are baked into node matrices.
+
+    With `draco=True` geometry is compressed through the native Draco codec
+    (KHR_draco_mesh_compression, sequential encoding); `*_bits` set the
+    quantization depth (0 = lossless float32).
     """
     import json as _json
     import struct as _struct
@@ -287,10 +325,10 @@ def save_glb(meshes, path: str) -> None:
         offset = len(bin_data)
         bin_data += arr.tobytes()
         bin_data += b"\x00" * (-len(bin_data) % 4)
-        buffer_views.append({
-            "buffer": 0, "byteOffset": offset, "byteLength": arr.nbytes,
-            "target": target,
-        })
+        bv = {"buffer": 0, "byteOffset": offset, "byteLength": arr.nbytes}
+        if target is not None:
+            bv["target"] = target
+        buffer_views.append(bv)
         return len(buffer_views) - 1
 
     gltf_meshes, nodes, materials = [], [], []
@@ -299,21 +337,47 @@ def save_glb(meshes, path: str) -> None:
         nrm = np.asarray(m.normals, np.float32)
         idx = np.asarray(m.indices, np.uint32).reshape(-1)
 
-        bv_p = add_blob(pos, 34962)
-        accessors.append({
-            "bufferView": bv_p, "componentType": 5126, "count": len(pos),
-            "type": "VEC3", "min": pos.min(0).tolist(),
-            "max": pos.max(0).tolist(),
-        })
-        a_p = len(accessors) - 1
-        bv_n = add_blob(nrm, 34962)
-        accessors.append({"bufferView": bv_n, "componentType": 5126,
-                          "count": len(nrm), "type": "VEC3"})
-        a_n = len(accessors) - 1
-        bv_i = add_blob(idx, 34963)
-        accessors.append({"bufferView": bv_i, "componentType": 5125,
-                          "count": len(idx), "type": "SCALAR"})
-        a_i = len(accessors) - 1
+        prim_ext = None
+        if draco:
+            blob = _draco.encode(
+                pos, idx, nrm,
+                position_bits=draco_position_bits,
+                normal_bits=draco_normal_bits,
+            )
+            bv_d = add_blob(np.frombuffer(blob, np.uint8), None)
+            # accessors carry only shape metadata; data lives in the Draco
+            # stream (attribute ids: POSITION=0, NORMAL=1 per io/draco.py)
+            accessors.append({
+                "componentType": 5126, "count": len(pos), "type": "VEC3",
+                "min": pos.min(0).tolist(), "max": pos.max(0).tolist(),
+            })
+            a_p = len(accessors) - 1
+            accessors.append({"componentType": 5126, "count": len(nrm),
+                              "type": "VEC3"})
+            a_n = len(accessors) - 1
+            accessors.append({"componentType": 5125, "count": len(idx),
+                              "type": "SCALAR"})
+            a_i = len(accessors) - 1
+            prim_ext = {"KHR_draco_mesh_compression": {
+                "bufferView": bv_d,
+                "attributes": {"POSITION": 0, "NORMAL": 1},
+            }}
+        else:
+            bv_p = add_blob(pos, 34962)
+            accessors.append({
+                "bufferView": bv_p, "componentType": 5126, "count": len(pos),
+                "type": "VEC3", "min": pos.min(0).tolist(),
+                "max": pos.max(0).tolist(),
+            })
+            a_p = len(accessors) - 1
+            bv_n = add_blob(nrm, 34962)
+            accessors.append({"bufferView": bv_n, "componentType": 5126,
+                              "count": len(nrm), "type": "VEC3"})
+            a_n = len(accessors) - 1
+            bv_i = add_blob(idx, 34963)
+            accessors.append({"bufferView": bv_i, "componentType": 5125,
+                              "count": len(idx), "type": "SCALAR"})
+            a_i = len(accessors) - 1
 
         mat = m.material
         mat_def = {
@@ -331,10 +395,13 @@ def save_glb(meshes, path: str) -> None:
                 "emissiveStrength": float(mat.emission_strength)}}
         materials.append(mat_def)
 
-        gltf_meshes.append({"primitives": [{
+        prim = {
             "attributes": {"POSITION": a_p, "NORMAL": a_n},
             "indices": a_i, "material": mi, "mode": 4,
-        }]})
+        }
+        if prim_ext is not None:
+            prim["extensions"] = prim_ext
+        gltf_meshes.append({"primitives": [prim]})
         node = {"mesh": mi}
         t = np.asarray(m.transform, np.float64)
         if not np.allclose(t, np.eye(4)):
@@ -352,8 +419,14 @@ def save_glb(meshes, path: str) -> None:
         "bufferViews": buffer_views,
         "buffers": [{"byteLength": len(bin_data)}],
     }
+    ext_used = []
     if any("extensions" in m for m in materials):
-        gltf["extensionsUsed"] = ["KHR_materials_emissive_strength"]
+        ext_used.append("KHR_materials_emissive_strength")
+    if draco:
+        ext_used.append("KHR_draco_mesh_compression")
+        gltf["extensionsRequired"] = ["KHR_draco_mesh_compression"]
+    if ext_used:
+        gltf["extensionsUsed"] = ext_used
 
     js = _json.dumps(gltf).encode()
     js += b" " * (-len(js) % 4)
