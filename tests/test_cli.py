@@ -57,3 +57,30 @@ def test_cli_invert(capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["value"] < rec["loss_start"]
+
+
+def test_cli_export_draco_roundtrip(tmp_path):
+    from tpu_pathtracer.io import draco as _draco
+
+    if not _draco.available():
+        import pytest
+
+        pytest.skip("native draco codec unavailable")
+    raw = str(tmp_path / "scene.glb")
+    drc = str(tmp_path / "scene_drc.glb")
+    assert main(["export", "--scene", "default", "-o", raw]) == 0
+    assert main(["export", "--scene", raw, "-o", drc, "--draco",
+                 "--no-normalize"]) == 0
+    import os
+
+    assert os.path.getsize(drc) < os.path.getsize(raw)
+    from tpu_pathtracer.io.gltf import load_gltf
+
+    a = load_gltf(raw, normalize=False)
+    b = load_gltf(drc, normalize=False)
+    assert len(a) == len(b)
+    import numpy as np
+
+    for ma, mb in zip(a, b):
+        assert np.array_equal(ma.indices, mb.indices)
+        assert np.abs(ma.positions - mb.positions).max() < 2e-3

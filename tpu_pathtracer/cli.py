@@ -10,6 +10,8 @@ Commands:
   benchmark  rays/s measurement (JSON line, same metric as bench.py).
   invert     inverse-rendering demo: recover a perturbed material color from
              a rendered target (BASELINE.json configs[4]).
+  export     convert/compress scenes to .glb, optionally Draco-compressed
+             through the native codec (csrc/draco_codec.cpp).
   info       backend/device diagnostic (reference: Renderer.diagnostic(),
              src/renderer.ts:470-489).
 """
@@ -309,6 +311,31 @@ def np_norm(a, b) -> float:
     return float(np.linalg.norm(np.asarray(a, float) - np.asarray(b, float)))
 
 
+def cmd_export(args) -> int:
+    """Convert / compress a scene to .glb (optionally Draco-compressed via
+    the native codec, csrc/draco_codec.cpp)."""
+    import os
+
+    from .io.gltf import load_gltf, save_glb
+
+    if args.scene == "default":
+        import numpy as np
+
+        from .scene.host import default_scene
+
+        meshes = default_scene(np.zeros((8, 16, 3), np.float32)).meshes
+    else:
+        meshes = load_gltf(args.scene, normalize=not args.no_normalize)
+    save_glb(meshes, args.output, draco=args.draco,
+             draco_position_bits=args.draco_bits,
+             draco_normal_bits=args.draco_normal_bits)
+    tris = sum(len(m.indices) for m in meshes)
+    print(f"{args.output}: {len(meshes)} meshes, {tris} triangles, "
+          f"{os.path.getsize(args.output)} bytes"
+          + (" (draco)" if args.draco else ""), file=sys.stderr)
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -361,6 +388,20 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8790)
     p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("export",
+                       help="convert/compress a scene to .glb (opt. Draco)")
+    p.add_argument("--scene", default="default",
+                   help="'default' or a .glb/.gltf path")
+    p.add_argument("--output", "-o", required=True)
+    p.add_argument("--draco", action="store_true",
+                   help="KHR_draco_mesh_compression via the native codec")
+    p.add_argument("--draco-bits", type=int, default=14, metavar="N",
+                   help="position quantization bits (0 = lossless)")
+    p.add_argument("--draco-normal-bits", type=int, default=10, metavar="N")
+    p.add_argument("--no-normalize", action="store_true",
+                   help="keep source units (skip unit-scale normalization)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("info", help="device diagnostic")
     p.set_defaults(fn=cmd_info)
