@@ -1,79 +1,75 @@
-"""Headline benchmark: BVH-traversal ray throughput on the default backend.
+"""Headline benchmark: ray-vs-scene intersection throughput on the default
+backend, measured honestly.
 
-One "ray" = one ray-vs-BVH traversal (W*H pixels x spp x max_bounces
-traversals per frame; every bounce iteration traverses the full BVH for the
-whole batch).  Prints ONE JSON line {"metric","value","unit","vs_baseline"}
-with vs_baseline relative to the 1e9 rays/s/chip target (BASELINE.json).
+One "ray" = one ray-vs-scene intersection (W*H pixels x spp x max_bounces
+intersections per frame).  Prints ONE JSON line
+{"metric","value","unit","vs_baseline"} with vs_baseline relative to the
+1e9 rays/s/chip target (BASELINE.json).
+
+The headline shape is PINNED across rounds to the reference's default
+dispatch shape — 512x512 x 1 spp x 4 bounces on the default scene
+(reference: src/renderer.ts:39-41 at a 2048-wide canvas -> 512^2 internal;
+src/passes/raytrace.ts:697-698) — so round-over-round numbers are
+comparable.  The frame count is auto-scaled so each timed program runs
+~1.5 s; throughput is the SLOPE between two budget sizes with a linearity
+gate, a profiler device-time cross-check, and a physical-bounds check
+(see tpu_pathtracer/render/benchmark.py for the methodology and why
+best-of-N wall timing was abandoned: round-1 numbers were relay dispatch
+artifacts, not kernel time).
 
 `python bench.py --full` additionally reports the BASELINE.json config
 sweep (Cornell-class 256^2, 1K-tri mesh + DoF 512^2, env-lit 1080p with
-denoise+tonemap, 100K-tri stress, inverse-rendering step) to stderr.
-
-Timing is best-of-N blocked wall time; N is higher than usual because this
-environment reaches the TPU through a tunnel with occasional multi-second
-stalls — best-of filters those out.
+denoise+tonemap, 100K-tri stress) and the virtual-mesh scaling table to
+stderr.
 """
 
 from __future__ import annotations
 
 import json
 import sys
-import time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _bench_step(step, scene_data, cam, H, W, spp, bounces, frames, reps):
-    from tpu_pathtracer.render.benchmark import bench_step
-
-    return bench_step(step, scene_data, cam, width=W, height=H, spp=spp,
-                      bounces=bounces, frames=frames, reps=reps)
-
-
-def _make_step(W, H, spp, bounces):
-    from tpu_pathtracer.render.benchmark import make_step
-
-    return make_step(W, H, spp, bounces, aspect=1.0)
-
-
-def headline(reps=6):
-    """1024^2 x 8spp x 4 bounces: 8.4M paths per dispatch.
-
-    The batch is deliberately large: per-dispatch wall time here is flat
-    (~0.3 ms) from 0.26M to 17M paths — dispatch latency dominates small
-    launches, so a 512^2 x 1spp config (the reference's default shape)
-    measures the launch path, not the traversal kernel.  Batching samples
-    into one launch is the TPU-idiomatic formulation (keep it large and
-    batched) and the renderer exposes it directly as samples_per_frame.
-    """
+def headline(reps=3):
     import jax
 
     import tpu_pathtracer as pt
+    from tpu_pathtracer.render.benchmark import bench_config
     from tpu_pathtracer.scene.envmap import gradient_sky
     from tpu_pathtracer.scene.types import Camera
 
-    W = H = 1024
-    SPP, BOUNCES, FRAMES = 8, 4, 4
+    W = H = 512
+    SPP, BOUNCES = 1, 4
     scene = pt.default_scene(gradient_sky(64, 128))
     data = jax.device_put(scene.compile())
     cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
-    step = _make_step(W, H, SPP, BOUNCES)
-    rays_s, compile_s, best = _bench_step(step, data, cam, H, W, SPP, BOUNCES,
-                                          FRAMES, reps)
-    log(f"headline: compile {compile_s:.1f}s best {best*1e3:.1f}ms "
-        f"({FRAMES} frames)")
-    return rays_s
+    res = bench_config(
+        data, cam, width=W, height=H, spp=SPP, bounces=BOUNCES, aspect=1.0,
+        reps=reps, log=log,
+    )
+    log(
+        f"headline 512^2x1sppx4b: {res.rays_per_s:.3e} rays/s  "
+        f"per-frame {res.per_frame_s*1e3:.2f} ms (slope; "
+        f"T({res.n1})={res.t_n1_s:.2f}s T({res.n2})={res.t_n2_s:.2f}s, "
+        f"spread {res.spread_rel*100:.0f}%, linearity {res.linearity:.2f}, "
+        f"device {None if res.device_per_frame_s is None else f'{res.device_per_frame_s*1e3:.2f}'} ms/frame, "
+        f"compile {res.compile_s:.0f}s)  ok={res.ok} {res.reasons}"
+    )
+    return res
 
 
 def full_sweep():
     import math
+    import time
 
     import jax
     import numpy as np
 
     import tpu_pathtracer as pt
+    from tpu_pathtracer.render.benchmark import bench_config
     from tpu_pathtracer.scene import primitives
     from tpu_pathtracer.scene.envmap import gradient_sky
     from tpu_pathtracer.scene.host import Material, Mesh, Scene, rotation_x
@@ -99,18 +95,15 @@ def full_sweep():
         ("envlit_1080p", mesh_scene(32), cam, 1024, 1, 4),
         ("stress100K_512", mesh_scene(320), cam, 512, 1, 6),
     ]
-    results = {}
     for name, scene, c, size, spp, bounces in configs:
         data = jax.device_put(scene.compile())
-        step = _make_step(size, size, spp, bounces)
-        rays_s, compile_s, best = _bench_step(
-            step, data, c, size, size, spp, bounces, 8, 4)
-        mpaths = size * size * spp * 8 / best / 1e6
-        log(f"{name}: {rays_s:.3e} rays/s  {mpaths:.1f} Mpaths/s "
-            f"(compile {compile_s:.1f}s)")
-        results[name] = rays_s
+        res = bench_config(data, c, width=size, height=size, spp=spp,
+                           bounces=bounces, reps=3, log=log)
+        mpaths = size * size * spp / res.per_frame_s / 1e6
+        log(f"{name}: {res.rays_per_s:.3e} rays/s  {mpaths:.1f} Mpaths/s  "
+            f"ok={res.ok} {res.reasons}")
 
-    # denoise+tonemap post at 1080p (fullscreen-pass equivalent)
+    # denoise+tonemap post at 1080p (fullscreen-pass equivalent), slope-timed
     import jax.numpy as jnp
 
     from tpu_pathtracer.config import PostConfig
@@ -119,20 +112,23 @@ def full_sweep():
     img = jnp.asarray(np.random.default_rng(0).random((1080, 1920, 3)),
                       jnp.float32)
     post = PostConfig(denoise=True)
-    out = postprocess(img, post)
-    jax.block_until_ready(out)
-    best = min(
-        _timeit(lambda: jax.block_until_ready(postprocess(img, post)))
-        for _ in range(5)
-    )
-    log(f"post_1080p (denoise+aces): {best*1e3:.2f} ms/frame")
-    return results
 
+    from functools import partial
 
-def _timeit(f):
-    t0 = time.perf_counter()
-    f()
-    return time.perf_counter() - t0
+    @partial(jax.jit, static_argnums=(1,))
+    def post_n(img, n):
+        def body(i, x):
+            return postprocess(x * (1.0 / (1.0 + i)), post)
+        return jax.lax.fori_loop(0, n, body, img)
+
+    def timed(n):
+        np.asarray(post_n(img, n))
+        t0 = time.perf_counter()
+        np.asarray(post_n(img, n))
+        return time.perf_counter() - t0
+
+    t8, t16 = timed(8), timed(16)
+    log(f"post_1080p (denoise+aces): {(t16-t8)/8*1e3:.2f} ms/frame (slope; T8={t8:.2f}s T16={t16:.2f}s)")
 
 
 def main() -> None:
@@ -142,10 +138,10 @@ def main() -> None:
     log(f"backend: {backend}, devices: {jax.devices()}")
     if "--full" in sys.argv:
         full_sweep()
-    rays_s = headline()
+    res = headline()
     from tpu_pathtracer.render.benchmark import headline_record
 
-    print(json.dumps(headline_record(rays_s, backend)))
+    print(json.dumps(headline_record(res, backend)))
 
 
 if __name__ == "__main__":

@@ -193,19 +193,21 @@ def _render_body(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
+    import sys
+
     import jax
 
-    from .render.benchmark import bench_step, headline_record, make_step
+    from .render.benchmark import bench_config, headline_record
 
     r = _build_renderer(args)
     scene_data = jax.device_put(r.scene_data)
     W, H = r.config.scaled_width, r.config.scaled_height
-    step = make_step(W, H, args.spp, args.bounces, aspect=args.width / args.height)
-    rays_s, _, _ = bench_step(
-        step, scene_data, r.camera, width=W, height=H, spp=args.spp,
-        bounces=args.bounces, frames=args.frames, reps=args.reps,
+    res = bench_config(
+        scene_data, r.camera, width=W, height=H, spp=args.spp,
+        bounces=args.bounces, aspect=args.width / args.height,
+        reps=args.reps, log=lambda s: print(s, file=sys.stderr),
     )
-    print(json.dumps(headline_record(rays_s, jax.default_backend())))
+    print(json.dumps(headline_record(res, jax.default_backend())))
     return 0
 
 
