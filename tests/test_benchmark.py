@@ -48,11 +48,16 @@ def test_physics_gate_refuses_impossible(small_scene):
     import jax.numpy as jnp
 
     def fake_budget(scene_d, params, n):
-        return jnp.zeros((2048, 2048, 3), jnp.float32)
+        return jnp.zeros((256, 256, 3), jnp.float32)
 
+    # Claimed work so large (4096^2 x 256 spp x 10 bounces = 4.4e13 rays
+    # per frame) that passing physics would need > 55 s/frame of wall time
+    # from a function that only allocates a tiny buffer — impossible, so
+    # either the linearity gate or the physics gate must fire regardless
+    # of timing noise.
     cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
     res = measure_budget(
-        fake_budget, small_scene, cam, width=2048, height=2048, spp=64,
+        fake_budget, small_scene, cam, width=4096, height=4096, spp=256,
         bounces=10, reps=2, target_seconds=0.02, profile=False,
     )
     assert not res.ok

@@ -45,6 +45,9 @@ class RenderConfig:
     max_bounces: int = 4
     seed: int = 123456789  # SEED constant, raytrace.wgsl:1
     accumulate: bool = True
+    # Intersection backend: 'auto' (by scene size, ops/trace.resolve_intersector),
+    # 'mt' (MXU all-pairs Möller–Trumbore), or 'bvh' (skip-link gather traversal).
+    intersector: str = "auto"
 
     @property
     def scaled_width(self) -> int:

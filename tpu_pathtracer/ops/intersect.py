@@ -163,25 +163,20 @@ def bvh_intersect(nodes, tri_pos, ro, rd):
     return Hit(best_tri >= 0, best_t, best_tri, best_u, best_v)
 
 
-def bvh_intersect_diff(nodes, tri_pos, ro, rd):
-    """Differentiable intersection via detached traversal + replayed math.
+def replay_hit(tri_pos, ro, rd, h):
+    """Analytically recompute (t, u, v) for an already-chosen triangle.
 
     Path-replay style (SURVEY.md §7 layer E): the discrete *choice* of
-    triangle comes from the non-differentiable `bvh_intersect` while-loop run
-    on stop-gradient inputs; (t, u, v) are then recomputed analytically for
-    the chosen triangle with `ray_triangle`, which IS differentiable w.r.t.
-    ray origin/direction and the packed vertex positions.  Gradients treat
-    the visibility function as locally constant (correct almost everywhere;
-    silhouette terms are out of scope, as in standard path-replay backprop).
+    triangle comes from a non-differentiable intersector run on
+    stop-gradient inputs; (t, u, v) are then recomputed analytically for
+    the chosen triangle with the Möller–Trumbore math, which IS
+    differentiable w.r.t. ray origin/direction and the packed vertex
+    positions.  Gradients treat the visibility function as locally constant
+    (correct almost everywhere; silhouette terms are out of scope, as in
+    standard path-replay backprop).
 
     Divisions are guarded on miss lanes so reverse-mode never forms inf*0.
     """
-    h = bvh_intersect(
-        jax.lax.stop_gradient(nodes),
-        jax.lax.stop_gradient(tri_pos),
-        jax.lax.stop_gradient(ro),
-        jax.lax.stop_gradient(rd),
-    )
     tri_safe = jnp.clip(h.tri, 0, tri_pos.shape[0] - 1)
     td = tri_pos[tri_safe]
     p0, p1, p2 = td[:, 0:3], td[:, 3:6], td[:, 6:9]
@@ -204,6 +199,17 @@ def bvh_intersect_diff(nodes, tri_pos, ro, rd):
     u = jnp.where(h.hit, u, 0.0)
     v = jnp.where(h.hit, v, 0.0)
     return Hit(h.hit, t, h.tri, u, v)
+
+
+def bvh_intersect_diff(nodes, tri_pos, ro, rd):
+    """Differentiable BVH intersection: detached traversal + `replay_hit`."""
+    h = bvh_intersect(
+        jax.lax.stop_gradient(nodes),
+        jax.lax.stop_gradient(tri_pos),
+        jax.lax.stop_gradient(ro),
+        jax.lax.stop_gradient(rd),
+    )
+    return replay_hit(tri_pos, ro, rd, h)
 
 
 def bvh_intersect_stack(bvh, triangles, ro, rd):

@@ -29,42 +29,123 @@ import numpy as np
 from . import camera as camera_ops
 from . import envsample, rng
 from .intersect import bvh_intersect, bvh_intersect_diff
+from .mt_matmul import mt_intersect
 from .vecmath import mix, normalize, reflect
 
+# Scenes at or below this padded triangle count default to the MXU
+# Möller–Trumbore intersector (ops/mt_matmul.py): on TPU the all-pairs
+# matmul beats the gather-bound traversal by ~3 orders of magnitude
+# (docs/DESIGN_NOTES.md), and its O(R*N) VPU epilogue only overtakes the
+# traversal's O(R*steps) gather cost well past this size.  The rule is
+# platform-independent so CPU tests exercise the TPU path.
+MT_AUTO_MAX_TRIS = 16384
 
-def _gather_material(materials, idx):
+
+def resolve_intersector(intersector: str, n_tris: int) -> str:
+    """Resolve the 'auto' intersector choice to a concrete backend.
+
+    'auto' picks the fused Pallas MT kernel on TPU, the XLA MT matmul on
+    other backends (same math, so CPU tests cover the TPU path), and the
+    gather traversal for scenes too large for all-pairs testing."""
+    if intersector == "auto":
+        if n_tris <= MT_AUTO_MAX_TRIS:
+            return "mt_pallas" if jax.default_backend() == "tpu" else "mt"
+        return "bvh"
+    if intersector not in ("mt", "mt_pallas", "bvh"):
+        raise ValueError(f"unknown intersector {intersector!r}")
+    return intersector
+
+
+def pack_material_rows(materials):
+    """Pack the material SoA into one gather-friendly (M, 12) row table:
+    [color(3), specular_color(3), emission_color(3), roughness, metalness,
+    emission_strength].  One wide gather per bounce replaces six narrow ones
+    (same packed-row treatment the geometry got, scene/types.py); built from
+    the SoA fields inside the jitted step so material gradients still flow
+    (concatenate is linear), and hoisted out of the bounce loop by XLA."""
+    return jnp.concatenate(
+        [
+            materials.color,
+            materials.specular_color,
+            materials.emission_color,
+            materials.roughness[:, None],
+            materials.metalness[:, None],
+            materials.emission_strength[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _gather_material(materials, idx, mat_rows=None):
     safe = jnp.clip(idx, 0, materials.roughness.shape[0] - 1)
+    if mat_rows is None:
+        mat_rows = pack_material_rows(materials)
+    row = mat_rows[safe]  # (R, 12) single gather
     return {
-        "color": materials.color[safe],
-        "specular_color": materials.specular_color[safe],
-        "roughness": materials.roughness[safe],
-        "metalness": materials.metalness[safe],
-        "emission_color": materials.emission_color[safe],
-        "emission_strength": materials.emission_strength[safe],
+        "color": row[:, 0:3],
+        "specular_color": row[:, 3:6],
+        "emission_color": row[:, 6:9],
+        "roughness": row[:, 9],
+        "metalness": row[:, 10],
+        "emission_strength": row[:, 11],
     }
 
 
 def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
-               env_importance: bool = False, differentiable: bool = False):
+               env_importance: bool = False, differentiable: bool = False,
+               intersector: str = "auto"):
     """Trace a batch of rays to completion.
 
     ro, rd: (R, 3); seed: (R,) uint32.
     Returns (incoming_light (R, 3), seed).
 
-    With `differentiable=True` the BVH walk runs detached and (t, u, v) are
-    replayed analytically (intersect.bvh_intersect_diff), making the whole
-    trace reverse-differentiable w.r.t. materials, environment radiance,
-    camera, and vertex data (the fori_loop bodies are scan-convertible).
+    `intersector` selects the intersection backend (static): 'mt' = MXU
+    all-pairs Möller–Trumbore (ops/mt_matmul.py), 'bvh' = skip-link gather
+    traversal (ops/intersect.py), 'auto' = by scene size
+    (`resolve_intersector`).  Both are parity-tested against each other and
+    the numpy oracle; they differ only by f32 re-association and the
+    tie-break on exact shared-edge t ties.
+
+    With `differentiable=True` the discrete triangle choice runs detached
+    and (t, u, v) are replayed analytically (intersect.replay_hit), making
+    the whole trace reverse-differentiable w.r.t. materials, environment
+    radiance, camera, and vertex data (the fori_loop bodies are
+    scan-convertible).
     """
     R = ro.shape[0]
-    intersect_fn = bvh_intersect_diff if differentiable else bvh_intersect
+    kind = resolve_intersector(intersector, scene.packed.tri_pos.shape[0])
+    if kind in ("mt", "mt_pallas"):
+        tri_pos = scene.packed.tri_pos
+        if kind == "mt_pallas":
+            from .pallas.mt_intersect import mt_intersect_pallas
+
+            base_fn = mt_intersect_pallas
+        else:
+            base_fn = mt_intersect
+        if differentiable:
+            from .intersect import replay_hit
+
+            def intersect_fn(ro, rd):
+                h = base_fn(
+                    jax.lax.stop_gradient(tri_pos),
+                    jax.lax.stop_gradient(ro),
+                    jax.lax.stop_gradient(rd),
+                )
+                return replay_hit(tri_pos, ro, rd, h)
+        else:
+            intersect_fn = lambda ro, rd: base_fn(tri_pos, ro, rd)
+    else:
+        fn = bvh_intersect_diff if differentiable else bvh_intersect
+        intersect_fn = partial(fn, scene.packed.nodes, scene.packed.tri_pos)
+
+    mat_rows = pack_material_rows(scene.materials)
 
     def body(_, carry):
         ro, rd, incoming, color, seed, active = carry
-        hit = intersect_fn(scene.packed.nodes, scene.packed.tri_pos, ro, rd)
+        hit = intersect_fn(ro, rd)
         return bounce_shade(
             scene, params, hit, (ro, rd, incoming, color, seed, active),
-            env_importance=env_importance,
+            env_importance=env_importance, mat_rows=mat_rows,
         )
 
     init = (
@@ -75,15 +156,37 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
         seed,
         jnp.ones((R,), bool),
     )
-    _, _, incoming, _, seed, _ = jax.lax.fori_loop(0, max_bounces, body, init)
+    if differentiable:
+        # while_loop has no reverse-mode rule; the fixed-trip fori_loop is
+        # scan-convertible for backprop.
+        _, _, incoming, _, seed, _ = jax.lax.fori_loop(0, max_bounces, body, init)
+    else:
+        # Early exit once every ray has terminated (bit-identical: the body
+        # is an identity when no lane is active, because every state update
+        # is gated on hit/miss masks that require `active`).  The reference
+        # always runs maxBounces iterations (raytrace.wgsl:378); on
+        # miss-heavy scenes this skips whole intersection rounds.
+        def w_cond(state):
+            i, carry = state
+            return (i < max_bounces) & jnp.any(carry[5])
+
+        def w_body(state):
+            i, carry = state
+            return i + 1, body(i, carry)
+
+        _, (_, _, incoming, _, seed, _) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), init)
+        )
     return incoming, seed
 
 
-def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False):
+def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
+                 mat_rows=None):
     """One bounce of the trace loop given a Hit: BRDF sample + emission +
     throughput update on hits, environment lookup on misses
     (raytrace.wgsl:378-408).  Shared by the megakernel (`trace_rays`) and
-    the wavefront tracer (ops/wavefront.py)."""
+    the wavefront tracer (ops/wavefront.py).  `mat_rows`: optional
+    pre-packed material table (pack_material_rows) to share across bounces."""
     ro, rd, incoming, color, seed, active = carry
     tris = scene.triangles
     hit_mask = active & hit.hit
@@ -99,7 +202,7 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False):
     position = ro + hit.t[:, None] * rd
 
     mat_idx = jax.lax.bitcast_convert_type(shade[:, 9], jnp.int32)
-    mat = _gather_material(scene.materials, mat_idx)
+    mat = _gather_material(scene.materials, mat_idx, mat_rows)
 
     # RNG: hit rays consume 7 uniforms (6 for the cosine direction, 1 for
     # the specular decision); missed/inactive rays must not advance.
@@ -156,6 +259,7 @@ def render_frame(
     max_bounces: int = 4,
     env_importance: bool = False,
     differentiable: bool = False,
+    intersector: str = "auto",
     row_offset=0,
     full_height: int | None = None,
     seed_salt=None,
@@ -205,6 +309,7 @@ def render_frame(
         light, seed = trace_rays(
             scene, params, o, d, seed, max_bounces=max_bounces,
             env_importance=env_importance, differentiable=differentiable,
+            intersector=intersector,
         )
         return seed, acc + light
 

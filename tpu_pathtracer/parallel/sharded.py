@@ -61,6 +61,7 @@ def make_sharded_frame_step(
     max_bounces: int = 4,
     accumulate: bool = True,
     env_importance: bool = False,
+    intersector: str = "auto",
 ):
     """Build the jitted sharded progressive step.
 
@@ -99,6 +100,7 @@ def make_sharded_frame_step(
             samples_per_frame=spp_local,
             max_bounces=max_bounces,
             env_importance=env_importance,
+            intersector=intersector,
             row_offset=ti * rows,
             full_height=height,
             seed_salt=si.astype(jnp.uint32) * jnp.uint32(_SALT),
@@ -123,6 +125,7 @@ def make_sharded_render_all(
     max_bounces: int = 4,
     accumulate: bool = True,
     env_importance: bool = False,
+    intersector: str = "auto",
 ):
     """Whole progressive render as one jitted lax.fori_loop over frames —
     the multi-chip batch path (no host round-trip per frame)."""
@@ -135,6 +138,7 @@ def make_sharded_render_all(
         max_bounces=max_bounces,
         accumulate=accumulate,
         env_importance=env_importance,
+        intersector=intersector,
     )
 
     def render_all(scene, params0):

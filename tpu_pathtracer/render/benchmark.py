@@ -69,7 +69,8 @@ class BenchResult:
     _rays_per_frame: int = 0
 
 
-def make_budget(width: int, height: int, spp: int, bounces: int, aspect=None):
+def make_budget(width: int, height: int, spp: int, bounces: int, aspect=None,
+                intersector: str = "auto"):
     """Build fn(scene, params0, n_frames) rendering n frames in ONE jitted
     fori_loop (progressive accumulation, like the reference's full render
     budget, renderer.ts:366-395) — returns the accumulated (H, W, 3) image."""
@@ -88,7 +89,7 @@ def make_budget(width: int, height: int, spp: int, bounces: int, aspect=None):
             p = dataclasses.replace(params0, frame=(f + 1).astype(jnp.uint32))
             img = render_frame(scene_d, p, width=width, height=height,
                                aspect=aspect, samples_per_frame=spp,
-                               max_bounces=bounces)
+                               max_bounces=bounces, intersector=intersector)
             return accumulate(acc, img, p.frame, enabled=True)
 
         return jax.lax.fori_loop(
@@ -253,10 +254,11 @@ def bench_config(
     aspect: Optional[float] = None,
     reps: int = 3,
     target_seconds: float = 1.5,
+    intersector: str = "auto",
     log: Callable[[str], None] = lambda s: None,
 ) -> BenchResult:
     """Convenience: build the budget program and measure it."""
-    budget = make_budget(width, height, spp, bounces, aspect)
+    budget = make_budget(width, height, spp, bounces, aspect, intersector)
     return measure_budget(
         budget, scene_data, cam, width=width, height=height, spp=spp,
         bounces=bounces, reps=reps, target_seconds=target_seconds, log=log,

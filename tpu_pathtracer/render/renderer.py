@@ -44,7 +44,8 @@ Event = str  # 'reset' | 'start' | 'pause' | 'progress' | 'complete'
 
 
 def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: int,
-                    max_bounces: int, accumulate: bool, env_importance: bool = False):
+                    max_bounces: int, accumulate: bool, env_importance: bool = False,
+                    intersector: str = "auto"):
     """Build the fused jitted progressive step:
     raytrace one frame + fold it into the accumulation buffer (donated)."""
 
@@ -58,6 +59,7 @@ def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: i
             samples_per_frame=samples_per_frame,
             max_bounces=max_bounces,
             env_importance=env_importance,
+            intersector=intersector,
         )
         return accumulate_op(acc, frame_img, params.frame, enabled=accumulate)
 
@@ -139,6 +141,7 @@ class Renderer:
                 max_bounces=c.max_bounces,
                 accumulate=c.accumulate,
                 env_importance=self.env_importance,
+                intersector=c.intersector,
             )
         else:
             self._step = make_frame_step(
@@ -149,6 +152,7 @@ class Renderer:
                 max_bounces=c.max_bounces,
                 accumulate=c.accumulate,
                 env_importance=self.env_importance,
+                intersector=c.intersector,
             )
         self._acc = self._zero_acc()
 
@@ -270,6 +274,7 @@ class Renderer:
                     samples_per_frame=c.samples_per_frame,
                     max_bounces=c.max_bounces,
                     env_importance=self.env_importance,
+                    intersector=c.intersector,
                 ),
                 self._scene_data,
                 params,
