@@ -86,11 +86,16 @@ def test_bvh_matches_brute_force(nrays):
     h_stack = bvh_intersect_stack(sd.bvh, sd.triangles, ro, rd)
     h_brute = brute_force_intersect(sd.triangles, ro, rd)
 
+    # packed arrays are in BVH-DFS leaf order; tri_perm maps back to the
+    # original Triangles order that brute force / the stack walker use
+    perm = np.asarray(sd.packed.tri_perm)
+    link_tri = np.asarray(h_link.tri)
+    link_tri_orig = np.where(link_tri >= 0, perm[np.clip(link_tri, 0, len(perm) - 1)], -1)
     assert np.array_equal(np.asarray(h_link.hit), np.asarray(h_brute.hit))
     assert np.array_equal(np.asarray(h_link.t), np.asarray(h_brute.t))
-    assert np.array_equal(np.asarray(h_link.tri), np.asarray(h_brute.tri))
+    assert np.array_equal(link_tri_orig, np.asarray(h_brute.tri))
     assert np.array_equal(np.asarray(h_link.t), np.asarray(h_stack.t))
-    assert np.array_equal(np.asarray(h_link.tri), np.asarray(h_stack.tri))
+    assert np.array_equal(link_tri_orig, np.asarray(h_stack.tri))
 
 
 def test_empty_scene_misses():

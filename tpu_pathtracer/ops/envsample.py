@@ -78,39 +78,57 @@ def env_radiance(env, uv):
     return sample_bilinear(env.radiance, uv)
 
 
+def _invert_exclusive_cdf(cdf_at, target, size):
+    """Exact inversion of an exclusive per-texel CDF.
+
+    `cdf_at(i)` returns cdf[i] = P(texels < i) for integer i in [0, size);
+    finds the texel x with cdf[x] <= target < cdf[x+1] by integer binary
+    search, then places the sample uniformly inside the texel via the
+    piecewise-linear fractional offset.  Returns (x (i32), coord f32 in
+    [0, 1)).  This (not the reference's 8-step midpoint search over
+    *nearest-sampled* cdf values, raytrace.wgsl:315-349, which concentrates
+    each texel's probability mass onto its boundary) makes the sampler's
+    density exactly `EnvironmentMap.sample_pdf` — required for the enabled
+    L/pdf estimator to be unbiased.  The reference never ran its variant
+    (shipped commented out, raytrace.wgsl:398).
+    """
+    shape = target.shape
+    lo = jnp.zeros(shape, jnp.int32)  # invariant: cdf[lo] <= target
+    hi = jnp.full(shape, size, jnp.int32)  # invariant: target < cdf[hi] (cdf[size]=1)
+    for _ in range(max(1, int(np.ceil(np.log2(max(size, 2)))))):
+        mid = (lo + hi) // 2
+        go_right = cdf_at(mid) <= target
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid)
+    c_lo = cdf_at(lo)
+    c_hi = jnp.where(lo + 1 < size, cdf_at(jnp.minimum(lo + 1, size - 1)), 1.0)
+    width = jnp.maximum(c_hi - c_lo, EPSILON)
+    frac = jnp.clip((target - c_lo) / width, 0.0, 1.0)
+    return lo, (lo.astype(jnp.float32) + frac) / np.float32(size)
+
+
 def env_importance_sample(env, seed):
-    """8-step binary-search inversion of the marginal/conditional CDFs
-    (raytrace.wgsl:315-349).  Returns (seed, uv (..., 2))."""
+    """CDF inversion sampling of the environment map: marginal over rows,
+    then conditional over columns (tables from scene/envmap.build_cdf_tables,
+    the vectorized port of renderer.ts:159-266).  Consumes 2 uniforms.
+    Returns (seed, uv (..., 2)); the sample's density is
+    `env.sample_pdf[texel]` exactly (see _invert_exclusive_cdf)."""
     seed, r1 = rng.rand(seed)
     seed, r2 = rng.rand(seed)
+    h, w = env.height, env.width
 
-    def search(cdf_lookup, target, shape):
-        lo = jnp.zeros(shape, jnp.float32)
-        hi = jnp.ones(shape, jnp.float32)
-        for _ in range(8):
-            mid = (lo + hi) * 0.5
-            value = jnp.maximum(cdf_lookup(mid), EPSILON)
-            go_right = value < target
-            lo = jnp.where(go_right, mid, lo)
-            hi = jnp.where(go_right, hi, mid)
-        return (lo + hi) * 0.5
-
-    shape = r1.shape
-    half = jnp.full(shape, 0.5, jnp.float32)
-
-    v = search(
-        lambda m: sample_nearest(env.marginal_cdf, jnp.stack([half, m], axis=-1)),
-        r1,
-        shape,
-    )
-    u = search(
-        lambda m: sample_nearest(env.conditional_cdf, jnp.stack([m, v], axis=-1)),
-        r2,
-        shape,
-    )
+    y, v = _invert_exclusive_cdf(lambda i: env.marginal_cdf[i, 0], r1, h)
+    _, u = _invert_exclusive_cdf(lambda i: env.conditional_cdf[y, i], r2, w)
     return seed, jnp.stack([u, v], axis=-1)
 
 
 def env_pdf(env, uv):
-    """getEnvironmentMapPDF (raytrace.wgsl:363-367), nearest-sampled, floored."""
-    return jnp.maximum(sample_nearest(env.pdf, uv), EPSILON)
+    """Sampling density at uv (nearest texel, floored).
+
+    Returns the TRUE uv-measure density of `env_importance_sample`
+    (env.sample_pdf), NOT the reference's packed pdf channel: the packed
+    channel is the raw sin-weighted luminance (renderer.ts:253-266), which
+    makes the L/pdf estimator biased — the reference shipped that consumer
+    commented out (raytrace.wgsl:398-404) and never validated it.  With the
+    real density the estimator is unbiased (tests/test_envmap.py)."""
+    return jnp.maximum(sample_nearest(env.sample_pdf, uv), EPSILON)

@@ -1,23 +1,34 @@
-"""Fused Pallas TPU kernel for the MXU Möller–Trumbore intersector.
+"""Fused Pallas TPU kernel for the MXU/VPU Möller–Trumbore intersector.
 
 Same math as ops/mt_matmul.py (the bilinear-form factorization of
-raytrace.wgsl:78-116), fused so the (R, 4N) pair-determinant intermediate
-never leaves VMEM: the XLA formulation writes + re-reads it through HBM
-(~17 GB per bounce at 512² x 2K tris), which dominates its runtime.
+raytrace.wgsl:78-116), fused so the pair-determinant intermediates never
+leave VMEM, plus a treelet-level culling stage the dense XLA formulation
+cannot express.
 
-Layout (chosen for the VPU's 8x128 vregs):
-  * rays live along LANES: phi_t is (10, R), tiled to (10, TR) blocks,
-  * triangles live along SUBLANES: coefficient rows (4N, 10) with quantity-
-    major row blocks [a | u*a | v*a | t*a] of N rows each,
-  * each grid step computes one ray tile against all triangles in chunks of
-    C sublane rows: four (C, 10) @ (10, TR) MXU dots + a (C, TR) VPU
-    epilogue + a sublane min/argmin reduction, carrying the running best
-    hit in registers.
+Measured design decisions (TPU v5e, docs/DESIGN_NOTES.md):
 
-Outputs are (1, R) rows (t, tri, u, v) assembled into an intersect.Hit by
-the wrapper.  Nearest hit wins; exact-t ties resolve to the lowest triangle
-index (brute_force_intersect contract) because the within-chunk argmin
-takes the lowest row and the cross-chunk update uses strict <.
+  * The determinant "matmul" has K = 10; the MXU pads K to 128 and HIGHEST
+    (6-pass) f32 makes the padding 6x worse — measured 24 ms/call at
+    512²x2K.  The coefficient table is structurally sparse (19 of 40
+    feature entries are nonzero), so the kernel instead accumulates the
+    four determinants as 19 VPU broadcast-fmas per pair: measured
+    11.7 ms/call with bit-identical hit/triangle decisions.  Single-pass
+    bf16 (DEFAULT precision) is 7.8 ms but numerically unacceptable
+    (0.7% wrong hit masks).
+  * Treelet culling: triangles are laid out in BVH-DFS leaf order
+    (scene compile, scene/host.py), so each CHUNK_TRIS-row chunk is a
+    spatially tight treelet.  Per ray tile, a slab test against every
+    treelet AABB runs once up front; a chunk is skipped entirely
+    (lax.cond) when no ray in the tile can hit its box closer than its
+    current best t.  Terminated rays are parked at origin 1e30 by the
+    caller (ops/trace.py), so a tile of finished rays skips every chunk —
+    tile-granularity wavefront compaction without any sorting.
+
+Layout: rays along LANES (phi_t (10, R) tiled to (10, TR)); triangles
+along SUBLANES (coefficient rows (4N, 10), quantity-major blocks
+[a | u*a | v*a | t*a]).  Outputs are (1, R) rows (t, tri, u, v) assembled
+into an intersect.Hit by the wrapper.  Nearest hit wins; exact-t ties
+resolve to the lowest triangle index (brute_force_intersect contract).
 """
 
 from __future__ import annotations
@@ -34,64 +45,114 @@ from ..intersect import Hit
 from ..mt_matmul import ray_features, triangle_columns
 from ..vecmath import EPSILON, INF
 
-# Ray-tile (lanes) and triangle-chunk (sublanes) sizes.  TR is a multiple of
-# 128 (lane width); C a multiple of 8 (f32 sublanes).  dets per chunk are
-# 4 x (C, TR) f32 = 2 MB at the defaults — comfortably VMEM-resident.
-TILE_RAYS = 512
-CHUNK_TRIS = 512
+# Ray-tile (lanes) and treelet/chunk (sublanes) sizes.  TR is a multiple of
+# 128 (lane width); CHUNK_TRIS a multiple of 8 (f32 sublanes) and the
+# treelet granularity for culling.
+TILE_RAYS = 1024
+CHUNK_TRIS = 128
 
 _BIG_I32 = np.int32(2**31 - 1)
 
+# Feature indices of phi = [1, ro(1:4), rd(4:7), ro x rd(7:10)] carrying
+# nonzero coefficients per determinant (see mt_matmul.triangle_columns).
+_FEATS = {0: (4, 5, 6), 1: (4, 5, 6, 7, 8, 9), 2: (4, 5, 6, 7, 8, 9),
+          3: (0, 1, 2, 3)}
 
-def _kernel(phi_ref, cols_ref, t_ref, idx_ref, u_ref, v_ref, *, n_tris, chunk):
+
+def _kernel(phi_ref, cols_ref, boxes_ref, t_ref, idx_ref, u_ref, v_ref,
+            cull_ref, *, n_tris, chunk):
     """One ray tile vs all triangles.  phi_ref: (10, TR); cols_ref: (4N, 10)
-    quantity-major; outputs: (1, TR) each."""
+    quantity-major; boxes_ref: (M, 8) treelet [min3 max3 pad2];
+    outputs: (1, TR) each; cull_ref: (M, TR) f32 VMEM scratch holding the
+    per-treelet conservative entry distance (+inf = box missed) — a scratch
+    ref because Mosaic only lowers *ref* dynamic indexing, not value
+    dynamic_slice, inside the chunk loop."""
     phi = phi_ref[:]  # (10, TR)
     tr = phi.shape[1]
     n_chunks = n_tris // chunk
+
+    # ---- per-tile treelet culling table: slab-test all M boxes ----------
+    # Guarded like intersect.ray_aabb: parallel axes require containment.
+    ro = phi[1:4, :]  # (3, TR)
+    rd = phi[4:7, :]
+    par = jnp.abs(rd) < EPSILON
+    inv = jnp.float32(1.0) / jnp.where(par, jnp.float32(1.0), rd)
+    bmin = boxes_ref[:, 0:3]  # (M, 3)
+    bmax = boxes_ref[:, 3:6]
+
+    # Mirrors intersect.ray_aabb_t: parallel axes require containment and
+    # contribute no interval constraint.
+    hit_par = jnp.ones((n_chunks, tr), bool)
+    tmin_all = jnp.full((n_chunks, tr), -INF, jnp.float32)
+    tmax_all = jnp.full((n_chunks, tr), INF, jnp.float32)
+    for k in range(3):
+        pk = par[k : k + 1, :]  # (1, TR)
+        lo = (bmin[:, k : k + 1] - ro[k : k + 1, :]) * inv[k : k + 1, :]
+        hi = (bmax[:, k : k + 1] - ro[k : k + 1, :]) * inv[k : k + 1, :]
+        tn = jnp.where(pk, -INF, jnp.minimum(lo, hi))
+        tf = jnp.where(pk, INF, jnp.maximum(lo, hi))
+        inside = (ro[k : k + 1, :] >= bmin[:, k : k + 1]) & (
+            ro[k : k + 1, :] <= bmax[:, k : k + 1]
+        )
+        hit_par &= (~pk) | inside
+        tmin_all = jnp.maximum(tmin_all, tn)
+        tmax_all = jnp.minimum(tmax_all, tf)
+    box_hit = hit_par & (tmax_all >= jnp.maximum(jnp.float32(0.0), tmin_all))
+    cull_ref[:] = jnp.where(box_hit, tmin_all, INF)
 
     def chunk_body(c, best):
         best_t, best_i, best_u, best_v = best
         c0 = c * chunk
 
-        def dets(q):
-            rows = cols_ref[pl.ds(q * n_tris + c0, chunk), :]  # (C, 10)
-            return jnp.dot(rows, phi, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (C, TR)
+        entry = cull_ref[pl.ds(c, 1), :]  # (1, TR)
+        any_live = jnp.sum((entry < best_t).astype(jnp.int32)) > 0
 
-        a, ua, va, ta = dets(0), dets(1), dets(2), dets(3)
+        def do(best):
+            best_t, best_i, best_u, best_v = best
+            rows = [cols_ref[pl.ds(q * n_tris + c0, chunk), :] for q in range(4)]
 
-        abs_a = jnp.abs(a)
-        sa = jnp.sign(a)
-        us = ua * sa
-        vs = va * sa
-        ts = ta * sa
-        valid = (
-            (abs_a >= EPSILON)
-            & (us >= 0.0)
-            & (us <= abs_a)
-            & (vs >= 0.0)
-            & (us + vs <= abs_a)
-            & (ts > EPSILON * abs_a)
-        )
-        f = jnp.float32(1.0) / jnp.where(abs_a >= EPSILON, a, jnp.float32(1.0))
-        t = jnp.where(valid, ta * f, INF)  # (C, TR)
+            def dets(q):
+                out = None
+                for k in _FEATS[q]:
+                    term = rows[q][:, k : k + 1] * phi[k : k + 1, :]
+                    out = term if out is None else out + term
+                return out  # (C, TR)
 
-        tmin = jnp.min(t, axis=0, keepdims=True)  # (1, TR)
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + c0
-        sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
-        imin = jnp.min(sel_rows, axis=0, keepdims=True)  # lowest-index tie
-        sel = sel_rows == imin  # exactly one row per lane (or none if no tie row)
-        u_w = jnp.sum(jnp.where(sel, ua * f, 0.0), axis=0, keepdims=True)
-        v_w = jnp.sum(jnp.where(sel, va * f, 0.0), axis=0, keepdims=True)
+            a, ua, va, ta = dets(0), dets(1), dets(2), dets(3)
 
-        take = tmin < best_t
-        return (
-            jnp.where(take, tmin, best_t),
-            jnp.where(take, imin, best_i),
-            jnp.where(take, u_w, best_u),
-            jnp.where(take, v_w, best_v),
-        )
+            abs_a = jnp.abs(a)
+            sa = jnp.sign(a)
+            us = ua * sa
+            vs = va * sa
+            ts = ta * sa
+            valid = (
+                (abs_a >= EPSILON)
+                & (us >= 0.0)
+                & (us <= abs_a)
+                & (vs >= 0.0)
+                & (us + vs <= abs_a)
+                & (ts > EPSILON * abs_a)
+            )
+            f = jnp.float32(1.0) / jnp.where(abs_a >= EPSILON, a, jnp.float32(1.0))
+            t = jnp.where(valid, ta * f, INF)  # (C, TR)
+
+            tmin = jnp.min(t, axis=0, keepdims=True)  # (1, TR)
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + c0
+            sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
+            imin = jnp.min(sel_rows, axis=0, keepdims=True)  # lowest-index tie
+            sel = sel_rows == imin
+            u_w = jnp.sum(jnp.where(sel, ua * f, 0.0), axis=0, keepdims=True)
+            v_w = jnp.sum(jnp.where(sel, va * f, 0.0), axis=0, keepdims=True)
+
+            take = tmin < best_t
+            return (
+                jnp.where(take, tmin, best_t),
+                jnp.where(take, imin, best_i),
+                jnp.where(take, u_w, best_u),
+                jnp.where(take, v_w, best_v),
+            )
+
+        return jax.lax.cond(any_live, do, lambda b: b, best)
 
     init = (
         jnp.full((1, tr), INF, jnp.float32),
@@ -117,13 +178,30 @@ def _pad_to(x, size, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def treelet_boxes(tri_pos, chunk: int = CHUNK_TRIS):
+    """AABBs of consecutive `chunk`-row treelets: (N, 9) -> (M, 8) f32
+    [min3, max3, 0, 0].  Assumes tri_pos rows are spatially ordered
+    (scene compile lays them out in BVH-DFS leaf order).  All-zero padding
+    rows pull the LAST treelet's box toward the origin — conservative
+    (never skips a real hit), only slightly pessimistic for culling."""
+    n = tri_pos.shape[0]
+    m = -(-n // chunk)
+    tp = _pad_to(tri_pos, m * chunk, 0)
+    verts = tp.reshape(m, chunk, 3, 3)
+    bmin = verts.min(axis=(1, 2))
+    bmax = verts.max(axis=(1, 2))
+    return jnp.concatenate([bmin, bmax, jnp.zeros((m, 2), tri_pos.dtype)], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mt_intersect_pallas(tri_pos, ro, rd, *, interpret: bool = False):
-    """Fused-Pallas all-pairs MT intersection; returns `intersect.Hit`.
+    """Fused-Pallas all-pairs MT intersection with treelet culling; returns
+    `intersect.Hit`.
 
-    Bit-compatible with ops/mt_matmul.mt_intersect up to MXU f32 pass
-    rounding (parity-tested).  `interpret=True` runs the kernel in the
-    Pallas interpreter for CPU tests.
+    Matches ops/mt_matmul.mt_intersect decisions exactly (hit masks and
+    triangle choices; t/u/v to f32 re-association) — parity-tested.
+    `interpret=True` runs the kernel in the Pallas interpreter for CPU
+    tests.
     """
     R = ro.shape[0]
     N = tri_pos.shape[0]
@@ -136,9 +214,14 @@ def mt_intersect_pallas(tri_pos, ro, rd, *, interpret: bool = False):
     n_pad = int(np.ceil(N / chunk)) * chunk  # zero rows are degenerate: no hit
     r_pad = int(np.ceil(R / TILE_RAYS)) * TILE_RAYS
 
-    cols = triangle_columns(_pad_to(tri_pos, n_pad, 0))  # (10, 4, Np)
+    tri_padded = _pad_to(tri_pos, n_pad, 0)
+    cols = triangle_columns(tri_padded)  # (10, 4, Np)
     cols_rows = jnp.transpose(cols, (1, 2, 0)).reshape(4 * n_pad, 10)
-    phi_t = _pad_to(ray_features(ro, rd).T, r_pad, 1)  # (10, Rp)
+    boxes = treelet_boxes(tri_padded, chunk)  # (M, 8)
+    # Padded ray lanes get origin 1e30: every treelet box test misses and
+    # every determinant is invalid, so they do no work and report a miss.
+    phi = ray_features(ro, rd)
+    phi_t = _pad_to(phi.T, r_pad, 1, value=1e30)  # (10, Rp)
 
     grid = (r_pad // TILE_RAYS,)
     kernel = functools.partial(_kernel, n_tris=n_pad, chunk=chunk)
@@ -158,15 +241,18 @@ def mt_intersect_pallas(tri_pos, ro, rd, *, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * n_pad, 10), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad // chunk, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n_pad // chunk, TILE_RAYS), jnp.float32),
+        ],
         interpret=interpret,
-    )(phi_t, cols_rows)
+    )(phi_t, cols_rows, boxes)
 
     t = t[0, :R]
     idx = idx[0, :R]
     hit = idx >= 0
-    # padded-triangle indices can never win (degenerate rows are invalid),
-    # and padded ray lanes are sliced away here.
     return Hit(hit, t, idx, u[0, :R], v[0, :R])

@@ -142,7 +142,17 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
 
     def body(_, carry):
         ro, rd, incoming, color, seed, active = carry
-        hit = intersect_fn(ro, rd)
+        # Park terminated rays far away with rd = 0: their determinant is
+        # identically 0 (guaranteed miss, no inf/nan) and every treelet box
+        # test fails, so a fully-terminated ray tile skips ALL intersection
+        # work in the Pallas kernel — tile-granularity compaction without
+        # sorting.  bounce_shade gates every state update on `active`, so
+        # the parked values never propagate.
+        am = active[:, None]
+        hit = intersect_fn(
+            jnp.where(am, ro, jnp.float32(1e30)),
+            jnp.where(am, rd, jnp.float32(0.0)),
+        )
         return bounce_shade(
             scene, params, hit, (ro, rd, incoming, color, seed, active),
             env_importance=env_importance, mat_rows=mat_rows,

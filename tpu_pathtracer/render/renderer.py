@@ -25,7 +25,7 @@ per-pass timing is enabled.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -41,6 +41,10 @@ from ..scene.types import Camera, RenderParams, SceneData
 from .timing import PassTimer
 
 Event = str  # 'reset' | 'start' | 'pause' | 'progress' | 'complete'
+
+# Jitted fullscreen pass for the timed path (PostConfig is a frozen,
+# hashable dataclass -> one compile per distinct config).
+_jit_postprocess = jax.jit(postprocess, static_argnums=(1, 2, 3))
 
 
 def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: int,
@@ -154,6 +158,29 @@ class Renderer:
                 env_importance=self.env_importance,
                 intersector=c.intersector,
             )
+        # Separately-jitted per-pass programs for enable_timing: the timed
+        # path must measure the same compiled artifacts the fused step runs,
+        # not an eager re-trace (reference: per-pass timestamp queries,
+        # src/timing.ts:56-98).  jax.jit is lazy, so building these is free
+        # unless timing is actually used.
+        def _raytrace_pass(scene: SceneData, params: RenderParams) -> jax.Array:
+            return render_frame(
+                scene,
+                params,
+                width=c.scaled_width,
+                height=c.scaled_height,
+                aspect=c.width / c.height,
+                samples_per_frame=c.samples_per_frame,
+                max_bounces=c.max_bounces,
+                env_importance=self.env_importance,
+                intersector=c.intersector,
+            )
+
+        self._timed_raytrace = jax.jit(_raytrace_pass)
+        self._timed_accumulate = jax.jit(
+            lambda acc, img, frame: accumulate_op(acc, img, frame, enabled=c.accumulate)
+        )
+        self._timed_warm = False
         self._acc = self._zero_acc()
 
     def _zero_acc(self) -> jax.Array:
@@ -264,23 +291,23 @@ class Renderer:
 
         params = self._params()
         if self.enable_timing:
-            c = self._config
+            # Timed per-pass values are wall time of the jitted pass bounded
+            # by a real fetch (timing.fetch_sync) — each includes one relay
+            # round-trip of fixed latency on top of device time.  Warm up
+            # (compile) untimed first so the rolling averages hold
+            # steady-state numbers, like the reference's per-pass timestamp
+            # queries (src/timing.ts:56-98).
+            if not getattr(self, "_timed_warm", False):
+                from .timing import fetch_sync
+
+                img = self._timed_raytrace(self._scene_data, params)
+                fetch_sync(self._timed_accumulate(self._acc, img, params.frame))
+                self._timed_warm = True
             img = self.timings["raytrace"].time_blocked(
-                partial(
-                    render_frame,
-                    width=c.scaled_width,
-                    height=c.scaled_height,
-                    aspect=c.width / c.height,
-                    samples_per_frame=c.samples_per_frame,
-                    max_bounces=c.max_bounces,
-                    env_importance=self.env_importance,
-                    intersector=c.intersector,
-                ),
-                self._scene_data,
-                params,
+                self._timed_raytrace, self._scene_data, params
             )
             self._acc = self.timings["accumulate"].time_blocked(
-                accumulate_op, self._acc, img, params.frame, self._config.accumulate
+                self._timed_accumulate, self._acc, img, params.frame
             )
         else:
             self._acc = self._step(self._scene_data, params, self._acc)
@@ -321,11 +348,20 @@ class Renderer:
         c = self._config
 
         def run():
-            return postprocess(self._acc, self.post, c.height, c.width)
+            return _jit_postprocess(self._acc, self.post, c.height, c.width)
 
         if self.enable_timing:
             return self.timings["fullscreen"].time_blocked(run)
         return run()
+
+    def set_timing(self, enabled: bool) -> None:
+        """Toggle per-pass timing; the only supported way to change it after
+        construction (enforces the single-device guard the constructor
+        applies — viewer/session.py used to bypass it)."""
+        enabled = bool(enabled)
+        if enabled and self._mesh is not None:
+            raise ValueError("enable_timing is single-device only")
+        self.enable_timing = enabled
 
     def screenshot(self, path: str) -> None:
         """Save the display image as PNG (reference: canvas.toDataURL,

@@ -3,15 +3,30 @@
 The reference wraps every GPU pass in timestamp queries and smooths the
 readback over a 30-sample rolling window (reference: src/timing.ts:1-20,
 28-146, surfaced per-pass in the UI via pass.timingAverage, src/passes/
-pass.ts:22-26).  The TPU equivalent: wall-clock a dispatch bounded by
-`block_until_ready`, smoothed by the same rolling average.  For deeper kernel
-profiles use `jax.profiler.trace` around a render (see render/renderer.py).
+pass.ts:22-26).  The TPU equivalent: wall-clock a *jitted* per-pass program
+bounded by a real device->host fetch, smoothed by the same rolling average.
+`block_until_ready` is NOT a reliable sync on the relayed TPU platform
+(measured, utils/devtime.py), so `fetch_sync` pulls one element of every
+output to the host instead.  For deeper kernel profiles use
+`jax.profiler.trace` around a render (see utils/devtime.device_time).
 """
 
 from __future__ import annotations
 
 import time
 from contextlib import contextmanager
+
+
+def fetch_sync(x) -> None:
+    """Force true device completion of every array in pytree `x` by fetching
+    a single element to the host (the only trustworthy sync on this
+    platform; see utils/devtime.py)."""
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
 
 
 class RollingAverage:
@@ -49,20 +64,16 @@ class PassTimer:
         yield
         if result_to_block is not None:
             try:
-                import jax
-
-                jax.block_until_ready(result_to_block)
+                fetch_sync(result_to_block)
             except Exception:
                 pass
         self.average.add_sample((time.perf_counter() - start) * 1e6)
 
     def time_blocked(self, fn, *args, **kwargs):
-        """Run fn, block on its output, record elapsed; returns the output."""
-        import jax
-
+        """Run fn, fetch-sync its output, record elapsed; returns the output."""
         start = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        fetch_sync(out)
         self.average.add_sample((time.perf_counter() - start) * 1e6)
         return out
 

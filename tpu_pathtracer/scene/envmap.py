@@ -48,10 +48,18 @@ def build_cdf_tables(radiance: np.ndarray):
         [np.zeros((h, 1)), np.cumsum(col_norm, axis=1)[:, :-1]], axis=1
     )
 
+    # True uv-measure density of the sampler that inverts these CDFs:
+    # P(texel y,x) = P(row y) * P(col x | row y) = norm_rows[y] * col_norm[y,x]
+    # -> density over the unit uv square = P(texel) * H * W.
+    # (The reference's packed pdf channel is just `weighted` — not a density;
+    # its consumer shipped commented out, raytrace.wgsl:398.)
+    sample_pdf = norm_rows[:, None] * col_norm * (h * w)
+
     return (
         marginal_2d.astype(np.float32),
         conditional.astype(np.float32),
         weighted.astype(np.float32),
+        sample_pdf.astype(np.float32),
     )
 
 
@@ -65,12 +73,13 @@ def build_environment(radiance: np.ndarray) -> EnvironmentMap:
     if rad.ndim != 3 or rad.shape[2] < 3:
         raise ValueError(f"environment radiance must be (H, W, 3), got {rad.shape}")
     rad = rad[..., :3]
-    marginal, conditional, pdf = build_cdf_tables(rad)
+    marginal, conditional, pdf, sample_pdf = build_cdf_tables(rad)
     return EnvironmentMap(
         radiance=jnp.asarray(rad),
         marginal_cdf=jnp.asarray(marginal),
         conditional_cdf=jnp.asarray(conditional),
         pdf=jnp.asarray(pdf),
+        sample_pdf=jnp.asarray(sample_pdf),
     )
 
 

@@ -222,26 +222,43 @@ class Scene:
             miss=jnp.asarray(lmiss),
         )
 
+        # Packed hot arrays use BVH-DFS *leaf order*: consecutive rows are
+        # spatially adjacent (the SAH tree's clustering), so the Pallas MT
+        # kernel's fixed-size row chunks are tight treelets for culling.
+        # Skip-link leaf pointers are relabeled to the new order; `tri_perm`
+        # maps packed rows back to the original (Triangles/FlatBVH) order.
+        leaf_order = links_np["tri"][links_np["tri"] >= 0].astype(np.int64)
+        if leaf_order.shape[0] != n:  # degenerate/empty scene: identity
+            leaf_order = np.arange(n, dtype=np.int64)
+        inv_order = np.empty(n, np.int64)
+        inv_order[leaf_order] = np.arange(n)
+        ltri_packed = np.where(ltri >= 0, inv_order[np.clip(ltri, 0, max(n - 1, 0))], -1).astype(np.int32) if n else ltri
+        perm = lambda a: a[leaf_order] if n else a
+
         packed_nodes = np.concatenate(
-            [lmin, lmax, ltri.view(np.float32)[:, None], lmiss.view(np.float32)[:, None]],
+            [lmin, lmax, ltri_packed.view(np.float32)[:, None], lmiss.view(np.float32)[:, None]],
             axis=1,
         )
         packed_tri_pos = np.concatenate(
-            [pad2(p0, cap_tris), pad2(p1, cap_tris), pad2(p2, cap_tris)], axis=1
+            [pad2(perm(p0), cap_tris), pad2(perm(p1), cap_tris), pad2(perm(p2), cap_tris)],
+            axis=1,
         )
         packed_tri_shade = np.concatenate(
             [
-                pad2(n0, cap_tris),
-                pad2(n1, cap_tris),
-                pad2(n2, cap_tris),
-                pad2(mat, cap_tris).view(np.float32)[:, None],
+                pad2(perm(n0), cap_tris),
+                pad2(perm(n1), cap_tris),
+                pad2(perm(n2), cap_tris),
+                pad2(perm(mat), cap_tris).view(np.float32)[:, None],
             ],
             axis=1,
         )
+        tri_perm = np.full((cap_tris,), -1, np.int32)
+        tri_perm[:n] = leaf_order
         packed = PackedGeometry(
             nodes=jnp.asarray(packed_nodes),
             tri_pos=jnp.asarray(packed_tri_pos),
             tri_shade=jnp.asarray(packed_tri_shade),
+            tri_perm=jnp.asarray(tri_perm),
         )
 
         nmat = max(1, len(materials))

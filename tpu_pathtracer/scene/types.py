@@ -117,7 +117,7 @@ class LinkedBVH:
         return self.tri.shape[0]
 
 
-@_register(data=("nodes", "tri_pos", "tri_shade"))
+@_register(data=("nodes", "tri_pos", "tri_shade", "tri_perm"))
 class PackedGeometry:
     """Gather-friendly packed copies of the geometry + BVH for the hot loop.
 
@@ -129,6 +129,13 @@ class PackedGeometry:
                  in skip-link DFS order (see accel.bvh.flat_to_links)
       tri_pos:   (N, 9)  f32 = [p0, p1, p2]
       tri_shade: (N, 10) f32 = [n0, n1, n2, bitcast(material_idx)]
+      tri_perm:  (N,)    i32 = original triangle index of each packed row
+
+    Triangle rows are laid out in BVH-DFS *leaf order* (spatially coherent),
+    so fixed-size row chunks are tight treelets — the culling granularity of
+    the Pallas MT kernel (ops/pallas/mt_intersect.py).  `nodes` leaf
+    pointers index the reordered rows; `tri_perm` maps a Hit.tri back to
+    the `Triangles`/`FlatBVH` original order.
 
     Materials and the environment stay unpacked — they are the
     differentiable leaves.
@@ -137,10 +144,11 @@ class PackedGeometry:
     nodes: jax.Array
     tri_pos: jax.Array
     tri_shade: jax.Array
+    tri_perm: jax.Array
 
 
 @_register(
-    data=("radiance", "marginal_cdf", "conditional_cdf", "pdf"),
+    data=("radiance", "marginal_cdf", "conditional_cdf", "pdf", "sample_pdf"),
 )
 class EnvironmentMap:
     """Equirectangular environment map + CDF tables for importance sampling.
@@ -148,12 +156,21 @@ class EnvironmentMap:
     The reference builds the CDF tables on the CPU and packs them into a
     second rgba32float texture (marginal, conditional, pdf, 1)
     (src/renderer.ts:132-281).  We keep them as separate arrays.
+
+    `pdf` is the reference's packed channel — the sin-weighted luminance
+    itself (renderer.ts:253-266), which is NOT a probability density (its
+    importance-sampling consumer shipped commented out, raytrace.wgsl:398,
+    so the reference never validated it).  `sample_pdf` is the TRUE
+    uv-measure density of the CDF sampler (scene/envmap.build_cdf_tables),
+    which is what the enabled estimator divides by — validated unbiased in
+    tests/test_envmap.py.
     """
 
     radiance: jax.Array  # (H, W, 3) f32
     marginal_cdf: jax.Array  # (H, W) f32 (constant along W, kept 2D to mirror the texture)
     conditional_cdf: jax.Array  # (H, W) f32
-    pdf: jax.Array  # (H, W) f32
+    pdf: jax.Array  # (H, W) f32, reference-packed channel (weighted luminance)
+    sample_pdf: jax.Array  # (H, W) f32, true uv-density of the CDF sampler
 
     @property
     def height(self) -> int:
@@ -171,6 +188,7 @@ class EnvironmentMap:
             marginal_cdf=z,
             conditional_cdf=z,
             pdf=z,
+            sample_pdf=z,
         )
 
 

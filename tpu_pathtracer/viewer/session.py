@@ -265,7 +265,10 @@ class ViewerSession:
                 r._rebuild()
                 r.reset()
             if "timing" in updates:
-                r.enable_timing = bool(updates["timing"])
+                try:
+                    r.set_timing(bool(updates["timing"]))
+                except ValueError:
+                    pass  # sharded session: per-pass timing unavailable
 
             cam_updates = {k: float(updates[k]) for k in
                            ("fov", "focal_distance", "aperture") if k in updates}
