@@ -48,6 +48,10 @@ class RenderConfig:
     # Intersection backend: 'auto' (by scene size, ops/trace.resolve_intersector),
     # 'mt' (MXU all-pairs Möller–Trumbore), or 'bvh' (skip-link gather traversal).
     intersector: str = "auto"
+    # Blue-noise low-discrepancy AA jitter (the reference's dead asset made
+    # live; ops/trace.render_frame blue_noise=...).  Not bit-compatible with
+    # the reference's hash-jitter stream.
+    blue_noise: bool = False
 
     @property
     def scaled_width(self) -> int:

@@ -56,13 +56,19 @@ def camera_rays(camera, uv, aspect):
     return origin, direction
 
 
-def apply_dof(seed, origin, direction, camera, resolution):
+def apply_dof(seed, origin, direction, camera, resolution, aa_uniforms=None):
     """Per-sample AA + thin-lens jitter (raytrace.wgsl:444-449).
 
     resolution: (2,) f32 (scaled render resolution, like uniforms.resolution).
+    `aa_uniforms`: optional (R, 2) uniforms driving the AA disk point in
+    place of the two hash draws (the blue-noise low-discrepancy path,
+    ops/trace.render_frame); when given, the seed stream skips those draws.
     Returns (seed, new_origin, new_direction).
     """
-    seed, disk1 = rng.rand_point_in_circle(seed)
+    if aa_uniforms is None:
+        seed, disk1 = rng.rand_point_in_circle(seed)
+    else:
+        disk1 = rng.disk_from_uniforms(aa_uniforms[..., 0], aa_uniforms[..., 1])
     seed, disk2 = rng.rand_point_in_circle(seed)
     zeros = jnp.zeros(disk1.shape[:-1] + (1,), jnp.float32)
     jitter = jnp.concatenate([disk1 / resolution, zeros], axis=-1)

@@ -65,10 +65,17 @@ def rand_cosine_hemisphere(seed, normal):
     return seed, v / n
 
 
+def disk_from_uniforms(r1, r2):
+    """Map two uniforms to a uniform disk point (the raytrace.wgsl:283-287
+    parameterization), shared by the hash-driven and low-discrepancy
+    (blue-noise) samplers."""
+    theta = TWOPI * r1
+    rho = jnp.sqrt(r2)
+    return jnp.stack([rho * jnp.cos(theta), rho * jnp.sin(theta)], axis=-1)
+
+
 def rand_point_in_circle(seed):
     """Uniform disk point (raytrace.wgsl:283-287). Returns (..., 2)."""
     seed, r1 = rand(seed)
     seed, r2 = rand(seed)
-    theta = TWOPI * r1
-    rho = jnp.sqrt(r2)
-    return seed, jnp.stack([rho * jnp.cos(theta), rho * jnp.sin(theta)], axis=-1)
+    return seed, disk_from_uniforms(r1, r2)

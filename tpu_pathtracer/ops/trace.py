@@ -270,6 +270,7 @@ def render_frame(
     env_importance: bool = False,
     differentiable: bool = False,
     intersector: str = "auto",
+    blue_noise=None,
     row_offset=0,
     full_height: int | None = None,
     seed_salt=None,
@@ -288,6 +289,18 @@ def render_frame(
         render is bit-identical to the unsharded one.
       * `seed_salt`: optional u32 folded into the per-pixel seed to decorrelate
         sample-axis shards (salt 0 == the reference's exact stream).
+
+    `blue_noise`: optional (Hb, Wb, 2) toroidal rank table
+    (utils.bluenoise.blue_noise_table).  When given, the AA pixel jitter
+    uses a Cranley–Patterson-rotated R2 low-discrepancy sequence — point n
+    (n = global sample number) offset per pixel by the blue-noise ranks —
+    instead of the PCG hash draws.  This is the reference's intended-but-
+    dead blue-noise asset made live (src/assets/noise.ts, loader commented
+    at src/renderer.ts:562-588): pixel-to-pixel AA error becomes
+    high-frequency ("blue"), lowering the visible low-frequency error at
+    small sample counts (tests/test_bluenoise_sampling.py measures it).
+    Everything else keeps the per-pixel PCG streams (the stream skips the
+    two AA draws; this mode is not bit-compatible with the reference).
     """
     if full_height is None:
         full_height = height
@@ -313,9 +326,29 @@ def render_frame(
     # raytrace.wgsl:444), not the local row-band height.
     resolution = jnp.array([width, full_height], jnp.float32)
 
-    def sample_body(_, carry):
+    if blue_noise is not None:
+        bn = jnp.asarray(blue_noise, jnp.float32)
+        hb, wb = bn.shape[0], bn.shape[1]
+        bn_pix = bn[ys % hb, xs % wb].reshape(R, 2)  # per-pixel CP offsets
+        # R2 quasi-random sequence (Roberts): the same point for every pixel
+        # at a given global sample number; the per-pixel rotation carries all
+        # the spatial structure.
+        r2a = np.float32(0.7548776662466927)
+        r2b = np.float32(0.5698402909980532)
+
+    def sample_body(s, carry):
         seed, acc = carry
-        seed, o, d = camera_ops.apply_dof(seed, base_o, base_d, params.camera, resolution)
+        if blue_noise is not None:
+            n = (params.frame.astype(jnp.float32) - 1.0) * np.float32(
+                samples_per_frame
+            ) + s.astype(jnp.float32)
+            base = jnp.stack([jnp.mod(n * r2a, 1.0), jnp.mod(n * r2b, 1.0)])
+            aa = jnp.mod(base[None, :] + bn_pix, 1.0)
+        else:
+            aa = None
+        seed, o, d = camera_ops.apply_dof(
+            seed, base_o, base_d, params.camera, resolution, aa_uniforms=aa
+        )
         light, seed = trace_rays(
             scene, params, o, d, seed, max_bounces=max_bounces,
             env_importance=env_importance, differentiable=differentiable,

@@ -62,6 +62,7 @@ def make_sharded_frame_step(
     accumulate: bool = True,
     env_importance: bool = False,
     intersector: str = "auto",
+    blue_noise=None,
 ):
     """Build the jitted sharded progressive step.
 
@@ -101,6 +102,7 @@ def make_sharded_frame_step(
             max_bounces=max_bounces,
             env_importance=env_importance,
             intersector=intersector,
+            blue_noise=blue_noise,
             row_offset=ti * rows,
             full_height=height,
             seed_salt=si.astype(jnp.uint32) * jnp.uint32(_SALT),
@@ -126,6 +128,7 @@ def make_sharded_render_all(
     accumulate: bool = True,
     env_importance: bool = False,
     intersector: str = "auto",
+    blue_noise=None,
 ):
     """Whole progressive render as one jitted lax.fori_loop over frames —
     the multi-chip batch path (no host round-trip per frame)."""
@@ -139,6 +142,7 @@ def make_sharded_render_all(
         accumulate=accumulate,
         env_importance=env_importance,
         intersector=intersector,
+        blue_noise=blue_noise,
     )
 
     def render_all(scene, params0):

@@ -14,8 +14,8 @@ fullscreen.wgsl:118).  Faithful details:
   * the range kernel uses the rgba difference; alpha is constant 1 so the rgb
     distance is identical.
 
-Evaluated at render resolution (the reference evaluates after upscale; at
-scaling factor 1 the two are identical — see SURVEY.md §2 row 7c).
+Evaluated at display resolution after the upscale, matching the
+reference's order (post/pipeline.py; fullscreen.wgsl:47,117-119).
 """
 
 from __future__ import annotations

@@ -49,7 +49,7 @@ _jit_postprocess = jax.jit(postprocess, static_argnums=(1, 2, 3))
 
 def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: int,
                     max_bounces: int, accumulate: bool, env_importance: bool = False,
-                    intersector: str = "auto"):
+                    intersector: str = "auto", blue_noise=None):
     """Build the fused jitted progressive step:
     raytrace one frame + fold it into the accumulation buffer (donated)."""
 
@@ -64,6 +64,7 @@ def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: i
             max_bounces=max_bounces,
             env_importance=env_importance,
             intersector=intersector,
+            blue_noise=blue_noise,
         )
         return accumulate_op(acc, frame_img, params.frame, enabled=accumulate)
 
@@ -133,6 +134,11 @@ class Renderer:
 
     def _rebuild(self) -> None:
         c = self._config
+        bn = None
+        if getattr(c, "blue_noise", False):
+            from ..utils.bluenoise import blue_noise_table
+
+            bn = blue_noise_table(64)
         if self._mesh is not None:
             from ..parallel import make_sharded_frame_step
 
@@ -146,6 +152,7 @@ class Renderer:
                 accumulate=c.accumulate,
                 env_importance=self.env_importance,
                 intersector=c.intersector,
+                blue_noise=bn,
             )
         else:
             self._step = make_frame_step(
@@ -157,6 +164,7 @@ class Renderer:
                 accumulate=c.accumulate,
                 env_importance=self.env_importance,
                 intersector=c.intersector,
+                blue_noise=bn,
             )
         # Separately-jitted per-pass programs for enable_timing: the timed
         # path must measure the same compiled artifacts the fused step runs,
@@ -174,6 +182,7 @@ class Renderer:
                 max_bounces=c.max_bounces,
                 env_importance=self.env_importance,
                 intersector=c.intersector,
+                blue_noise=bn,
             )
 
         self._timed_raytrace = jax.jit(_raytrace_pass)

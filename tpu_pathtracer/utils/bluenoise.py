@@ -76,3 +76,10 @@ def blue_noise(n: int = 64, sigma: float = 1.5, seed: int = 0) -> np.ndarray:
         rank[vi] = r
 
     return (rank.reshape(n, n).astype(np.float32) + 0.5) / np.float32(total)
+
+
+def blue_noise_table(n: int = 64, seed: int = 0):
+    """(n, n, 2) float32 table of two independent blue-noise rank planes —
+    the per-pixel Cranley–Patterson offsets for the 2D AA jitter
+    (ops/trace.render_frame blue_noise=...)."""
+    return np.stack([blue_noise(n, seed=seed), blue_noise(n, seed=seed + 1)], axis=-1)
