@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 #include <string>
 #include <vector>
 
@@ -214,6 +215,15 @@ bool decode_stream(const uint8_t *buf, int64_t len, DecodedMesh &mesh) {
     }
 
   // --- attributes ---------------------------------------------------------
+  // Plausibility: every point must carry at least one byte of attribute
+  // data somewhere in the stream, so num_points bounded by the remaining
+  // bytes (mirrors the num_faces check above).  Without this a ~40-byte
+  // crafted stream claiming 2^32-2 points forces a multi-GB zero-fill
+  // before any per-value bounds check runs (advisor finding, round 1).
+  if ((int64_t)mesh.num_points > len) {
+    set_error("draco: point count implausible for stream size");
+    return false;
+  }
   uint8_t n_decoders = r.u8();
   if (!r.ok) return false;
   for (uint8_t d = 0; d < n_decoders; ++d) {
@@ -259,7 +269,7 @@ bool decode_stream(const uint8_t *buf, int64_t len, DecodedMesh &mesh) {
                     std::to_string(a.data_type) + " not supported");
           return false;
         }
-        if (!r.need((int64_t)n_vals * 4)) return false;
+        if (!r.need((int64_t)n_vals * 4)) return false;  // bounds BEFORE alloc
         a.values.resize(n_vals);
         std::memcpy(a.values.data(), r.buf + r.pos, n_vals * 4);
         r.pos += (int64_t)n_vals * 4;
@@ -284,6 +294,9 @@ bool decode_stream(const uint8_t *buf, int64_t len, DecodedMesh &mesh) {
                     std::to_string(nbytes));
           return false;
         }
+        // every value occupies exactly `nbytes` in the stream: bound the
+        // allocation by the remaining bytes before sizing the buffer
+        if (!r.need((int64_t)n_vals * nbytes)) return false;
         qinfo[j].quantized = (dt == SEQ_QUANTIZATION);
         qinfo[j].symbols.resize(n_vals);
         for (uint64_t k = 0; k < n_vals; ++k) {
@@ -394,58 +407,161 @@ void encode_attr_values(Writer &w, const float *vals, uint64_t n_points,
 
 // ---------------------------------------------------------------------------
 // C ABI
+//
+// Every entry point is wrapped so C++ exceptions (std::bad_alloc above all)
+// never cross the ctypes boundary — an escaping exception through extern "C"
+// calls std::terminate and takes the Python interpreter down with it
+// (advisor finding, round 1).
 // ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename Fn>
+int64_t guarded(Fn &&fn) noexcept {
+  try {
+    return fn();
+  } catch (const std::exception &e) {
+    set_error(std::string("draco: internal error: ") + e.what());
+    return -1;
+  } catch (...) {
+    set_error("draco: unknown internal error");
+    return -1;
+  }
+}
+
+}  // namespace
 
 extern "C" {
 
 const char *tpu_pt_draco_last_error() { return g_error.c_str(); }
 
+// --- decode-to-handle API: one full parse, then cheap accessor reads ------
+
+// Returns an opaque handle (free with tpu_pt_draco_close) or NULL on error.
+void *tpu_pt_draco_open(const uint8_t *buf, int64_t len) {
+  void *out = nullptr;
+  guarded([&]() -> int64_t {
+    auto m = new DecodedMesh();
+    if (!decode_stream(buf, len, *m)) {
+      delete m;
+      return -1;
+    }
+    out = m;
+    return 0;
+  });
+  return out;
+}
+
+void tpu_pt_draco_close(void *h) {
+  delete static_cast<DecodedMesh *>(h);
+}
+
+// info[0]=num_points, info[1]=num_faces, info[2]=num_attributes
+int64_t tpu_pt_draco_h_info(void *h, int64_t *info) {
+  return guarded([&]() -> int64_t {
+    const auto &m = *static_cast<DecodedMesh *>(h);
+    info[0] = m.num_points;
+    info[1] = m.num_faces;
+    info[2] = (int64_t)m.attrs.size();
+    return 0;
+  });
+}
+
+// out[0]=unique_id, out[1]=att_type, out[2]=data_type, out[3]=components
+int64_t tpu_pt_draco_h_attr_info(void *h, int64_t j, int64_t *out) {
+  return guarded([&]() -> int64_t {
+    const auto &m = *static_cast<DecodedMesh *>(h);
+    if (j < 0 || j >= (int64_t)m.attrs.size()) {
+      set_error("draco: attribute index out of range");
+      return -1;
+    }
+    out[0] = m.attrs[j].unique_id;
+    out[1] = m.attrs[j].att_type;
+    out[2] = m.attrs[j].data_type;
+    out[3] = m.attrs[j].components;
+    return 0;
+  });
+}
+
+// out must hold 3*num_faces uint32
+int64_t tpu_pt_draco_h_indices(void *h, uint32_t *out) {
+  return guarded([&]() -> int64_t {
+    const auto &m = *static_cast<DecodedMesh *>(h);
+    std::memcpy(out, m.indices.data(), m.indices.size() * 4);
+    return (int64_t)m.indices.size();
+  });
+}
+
+// out must hold num_points*components float32 for attribute j
+int64_t tpu_pt_draco_h_attr_f32(void *h, int64_t j, float *out) {
+  return guarded([&]() -> int64_t {
+    const auto &m = *static_cast<DecodedMesh *>(h);
+    if (j < 0 || j >= (int64_t)m.attrs.size()) {
+      set_error("draco: attribute index out of range");
+      return -1;
+    }
+    const Attribute &a = m.attrs[j];
+    std::memcpy(out, a.values.data(), a.values.size() * 4);
+    return (int64_t)a.values.size();
+  });
+}
+
+// --- legacy one-shot API (kept for compatibility; each call re-parses) ----
+
 // info[0]=num_points, info[1]=num_faces, info[2]=num_attributes
 int64_t tpu_pt_draco_info(const uint8_t *buf, int64_t len, int64_t *info) {
-  DecodedMesh m;
-  if (!decode_stream(buf, len, m)) return -1;
-  info[0] = m.num_points;
-  info[1] = m.num_faces;
-  info[2] = (int64_t)m.attrs.size();
-  return 0;
+  return guarded([&]() -> int64_t {
+    DecodedMesh m;
+    if (!decode_stream(buf, len, m)) return -1;
+    info[0] = m.num_points;
+    info[1] = m.num_faces;
+    info[2] = (int64_t)m.attrs.size();
+    return 0;
+  });
 }
 
 // out[0]=unique_id, out[1]=att_type, out[2]=data_type, out[3]=components
 int64_t tpu_pt_draco_attr_info(const uint8_t *buf, int64_t len, int64_t j,
                                int64_t *out) {
-  DecodedMesh m;
-  if (!decode_stream(buf, len, m)) return -1;
-  if (j < 0 || j >= (int64_t)m.attrs.size()) {
-    set_error("draco: attribute index out of range");
-    return -1;
-  }
-  out[0] = m.attrs[j].unique_id;
-  out[1] = m.attrs[j].att_type;
-  out[2] = m.attrs[j].data_type;
-  out[3] = m.attrs[j].components;
-  return 0;
+  return guarded([&]() -> int64_t {
+    DecodedMesh m;
+    if (!decode_stream(buf, len, m)) return -1;
+    if (j < 0 || j >= (int64_t)m.attrs.size()) {
+      set_error("draco: attribute index out of range");
+      return -1;
+    }
+    out[0] = m.attrs[j].unique_id;
+    out[1] = m.attrs[j].att_type;
+    out[2] = m.attrs[j].data_type;
+    out[3] = m.attrs[j].components;
+    return 0;
+  });
 }
 
 // out must hold 3*num_faces uint32
 int64_t tpu_pt_draco_indices(const uint8_t *buf, int64_t len, uint32_t *out) {
-  DecodedMesh m;
-  if (!decode_stream(buf, len, m)) return -1;
-  std::memcpy(out, m.indices.data(), m.indices.size() * 4);
-  return (int64_t)m.indices.size();
+  return guarded([&]() -> int64_t {
+    DecodedMesh m;
+    if (!decode_stream(buf, len, m)) return -1;
+    std::memcpy(out, m.indices.data(), m.indices.size() * 4);
+    return (int64_t)m.indices.size();
+  });
 }
 
 // out must hold num_points*components float32 for attribute j
 int64_t tpu_pt_draco_attr_f32(const uint8_t *buf, int64_t len, int64_t j,
                               float *out) {
-  DecodedMesh m;
-  if (!decode_stream(buf, len, m)) return -1;
-  if (j < 0 || j >= (int64_t)m.attrs.size()) {
-    set_error("draco: attribute index out of range");
-    return -1;
-  }
-  const Attribute &a = m.attrs[j];
-  std::memcpy(out, a.values.data(), a.values.size() * 4);
-  return (int64_t)a.values.size();
+  return guarded([&]() -> int64_t {
+    DecodedMesh m;
+    if (!decode_stream(buf, len, m)) return -1;
+    if (j < 0 || j >= (int64_t)m.attrs.size()) {
+      set_error("draco: attribute index out of range");
+      return -1;
+    }
+    const Attribute &a = m.attrs[j];
+    std::memcpy(out, a.values.data(), a.values.size() * 4);
+    return (int64_t)a.values.size();
+  });
 }
 
 // Encode pos (n,3) [+ optional nrm (n,3)] with faces idx (f,3).
@@ -454,6 +570,7 @@ int64_t tpu_pt_draco_attr_f32(const uint8_t *buf, int64_t len, int64_t j,
 int64_t tpu_pt_draco_encode(const float *pos, const float *nrm, int64_t n,
                             const uint32_t *idx, int64_t f, int64_t qpos,
                             int64_t qnrm, uint8_t *out, int64_t cap) {
+  return guarded([&]() -> int64_t {
   if (n <= 0 || f <= 0 || n > 0x7fffffff || f > 0x7fffffff) {
     set_error("draco: bad point/face count");
     return -1;
@@ -535,6 +652,7 @@ int64_t tpu_pt_draco_encode(const float *pos, const float *nrm, int64_t n,
   if (size > cap) return size;  // caller retries with a bigger buffer
   std::memcpy(out, w.out.data(), (size_t)size);
   return size;
+  });
 }
 
 }  // extern "C"

@@ -129,3 +129,50 @@ def test_glb_draco_quantized_smaller(tmp_path):
     loaded = load_gltf(path_drc, normalize=False)[0]
     assert np.abs(loaded.positions - np.asarray(v, np.float32)).max() < 1e-3
     assert np.abs(loaded.normals - np.asarray(n, np.float32)).max() < 3e-3
+
+
+def test_hostile_point_count_rejected_fast():
+    """A ~40-byte crafted stream claiming ~2^32 points must be rejected by
+    the plausibility check before any allocation (advisor finding r1: it
+    used to zero-fill ~17 GB and could std::terminate the interpreter)."""
+    import struct
+    import time
+
+    from tpu_pathtracer.io import draco
+
+    if not draco.available():
+        pytest.skip("native codec unavailable")
+
+    w = bytearray()
+    w += b"DRACO" + bytes([2, 2, 1, 0]) + b"\x00\x00"  # header, seq method
+    w += bytes([1])  # num_faces varint = 1
+
+    def varu32(v):
+        out = b""
+        while v >= 0x80:
+            out += bytes([v & 0x7F | 0x80]); v >>= 7
+        return out + bytes([v])
+
+    w += varu32(2**32 - 2)  # hostile num_points
+    w += bytes([1])  # uncompressed connectivity
+    w += b"\x00\x00\x00\x00" * 3  # 3 u32 indices (num_points >= 2^21)
+    w += bytes([1]) + varu32(1)  # one decoder, one attribute
+    w += bytes([0, 9, 3, 0]) + varu32(0)  # POSITION f32 x3
+    w += bytes([1])  # SEQ_INTEGER
+    t0 = time.time()
+    with pytest.raises(draco.DracoError, match="implausible"):
+        draco.decode(bytes(w))
+    assert time.time() - t0 < 1.0
+
+
+def test_exceptions_never_cross_abi():
+    """Garbage inputs of many shapes must raise DracoError, never crash."""
+    from tpu_pathtracer.io import draco
+
+    if not draco.available():
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 5, 16, 64, 256):
+        blob = b"DRACO" + bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        with pytest.raises(draco.DracoError):
+            draco.decode(blob)

@@ -98,6 +98,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         )
         lib.tpu_pt_draco_last_error.restype = ctypes.c_char_p
         lib.tpu_pt_draco_last_error.argtypes = []
+        lib.tpu_pt_draco_open.restype = ctypes.c_void_p
+        lib.tpu_pt_draco_open.argtypes = [u8p, i64]
+        lib.tpu_pt_draco_close.restype = None
+        lib.tpu_pt_draco_close.argtypes = [ctypes.c_void_p]
+        lib.tpu_pt_draco_h_info.restype = i64
+        lib.tpu_pt_draco_h_info.argtypes = [ctypes.c_void_p, i64p]
+        lib.tpu_pt_draco_h_attr_info.restype = i64
+        lib.tpu_pt_draco_h_attr_info.argtypes = [ctypes.c_void_p, i64, i64p]
+        lib.tpu_pt_draco_h_indices.restype = i64
+        lib.tpu_pt_draco_h_indices.argtypes = [ctypes.c_void_p, u32p]
+        lib.tpu_pt_draco_h_attr_f32.restype = i64
+        lib.tpu_pt_draco_h_attr_f32.argtypes = [ctypes.c_void_p, i64, f32p]
         lib.tpu_pt_draco_info.restype = i64
         lib.tpu_pt_draco_info.argtypes = [u8p, i64, i64p]
         lib.tpu_pt_draco_attr_info.restype = i64
@@ -142,31 +154,40 @@ def decode(data: bytes) -> Dict[str, object]:
     lib = _require_lib()
     buf = np.frombuffer(data, np.uint8)
     n = np.int64(buf.size)
-    info = np.zeros(3, np.int64)
-    if lib.tpu_pt_draco_info(buf, n, info) != 0:
+    # decode-to-handle: ONE stream parse; every accessor below reads the
+    # cached DecodedMesh (a k-attribute mesh used to be fully re-decoded
+    # 2+2k times — advisor finding, round 1)
+    handle = lib.tpu_pt_draco_open(buf, n)
+    if not handle:
         raise DracoError(_err(lib))
-    num_points, num_faces, num_attrs = (int(x) for x in info)
-
-    idx = np.empty(3 * num_faces, np.uint32)
-    if lib.tpu_pt_draco_indices(buf, n, idx) < 0:
-        raise DracoError(_err(lib))
-
-    attrs: List[Dict[str, object]] = []
-    for j in range(num_attrs):
-        ai = np.zeros(4, np.int64)
-        if lib.tpu_pt_draco_attr_info(buf, n, j, ai) != 0:
+    try:
+        info = np.zeros(3, np.int64)
+        if lib.tpu_pt_draco_h_info(handle, info) != 0:
             raise DracoError(_err(lib))
-        unique_id, att_type, _dtype, comps = (int(x) for x in ai)
-        vals = np.empty(num_points * comps, np.float32)
-        if lib.tpu_pt_draco_attr_f32(buf, n, j, vals) < 0:
+        num_points, num_faces, num_attrs = (int(x) for x in info)
+
+        idx = np.empty(3 * num_faces, np.uint32)
+        if lib.tpu_pt_draco_h_indices(handle, idx) < 0:
             raise DracoError(_err(lib))
-        attrs.append({
-            "unique_id": unique_id,
-            "att_type": att_type,
-            "name": _ATT_NAMES.get(att_type, "GENERIC"),
-            "components": comps,
-            "values": vals.reshape(num_points, comps),
-        })
+
+        attrs: List[Dict[str, object]] = []
+        for j in range(num_attrs):
+            ai = np.zeros(4, np.int64)
+            if lib.tpu_pt_draco_h_attr_info(handle, j, ai) != 0:
+                raise DracoError(_err(lib))
+            unique_id, att_type, _dtype, comps = (int(x) for x in ai)
+            vals = np.empty(num_points * comps, np.float32)
+            if lib.tpu_pt_draco_h_attr_f32(handle, j, vals) < 0:
+                raise DracoError(_err(lib))
+            attrs.append({
+                "unique_id": unique_id,
+                "att_type": att_type,
+                "name": _ATT_NAMES.get(att_type, "GENERIC"),
+                "components": comps,
+                "values": vals.reshape(num_points, comps),
+            })
+    finally:
+        lib.tpu_pt_draco_close(handle)
     return {
         "num_points": num_points,
         "indices": idx.astype(np.int64).reshape(-1, 3),

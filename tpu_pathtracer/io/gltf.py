@@ -206,9 +206,19 @@ def load_gltf(
         amap = ext.get("attributes", {})
         if "POSITION" not in amap or amap["POSITION"] not in by_id:
             raise GLTFError("Draco primitive missing POSITION attribute")
+        if by_id[amap["POSITION"]]["components"] != 3:
+            raise GLTFError(
+                "Draco POSITION attribute must have 3 components, got "
+                f"{by_id[amap['POSITION']]['components']}"
+            )
         pos = np.asarray(by_id[amap["POSITION"]]["values"], np.float32)
         idx = dec["indices"].astype(np.int64)
         if "NORMAL" in amap and amap["NORMAL"] in by_id:
+            if by_id[amap["NORMAL"]]["components"] != 3:
+                raise GLTFError(
+                    "Draco NORMAL attribute must have 3 components, got "
+                    f"{by_id[amap['NORMAL']]['components']}"
+                )
             nrm = np.asarray(by_id[amap["NORMAL"]]["values"], np.float32)
         else:
             nrm = _flat_normals(pos, idx)
