@@ -130,6 +130,14 @@ def full_sweep():
     t8, t16 = timed(8), timed(16)
     log(f"post_1080p (denoise+aces): {(t16-t8)/8*1e3:.2f} ms/frame (slope; T8={t8:.2f}s T16={t16:.2f}s)")
 
+    # mesh-size scaling table (VERDICT r1 item 4): per-device step time at
+    # tiles=1,2,4,8 over however many devices this run has
+    from tpu_pathtracer.render.benchmark import bench_scaling
+
+    scene = pt.default_scene(gradient_sky(64, 128))
+    bench_scaling(jax.device_put(scene.compile()), cam, width=256, height=256,
+                  spp=1, bounces=4, log=log)
+
 
 def main() -> None:
     import jax

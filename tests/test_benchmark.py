@@ -76,3 +76,19 @@ def test_linearity_of_real_budget(small_scene):
     )
     assert res.ok, res.reasons
     assert 0.6 < res.linearity < 1.4
+
+
+def test_scaling_harness_virtual_mesh(small_scene):
+    """The mesh-scaling table runs on the 8-virtual-device CPU mesh and
+    emits well-formed rows (VERDICT r1 item 4; real-chip scaling is the
+    same call via `bench.py --full`)."""
+    from tpu_pathtracer.render.benchmark import bench_scaling
+
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    rows = bench_scaling(small_scene, cam, width=32, height=32, spp=1,
+                         bounces=2, tile_counts=(1, 4), reps=2,
+                         target_seconds=0.05)
+    assert [r["tiles"] for r in rows] == [1, 4]
+    for r in rows:
+        assert r["per_frame_s"] > 0
+        assert 0 < r["efficiency"]  # virtual devices share cores: no bound

@@ -54,6 +54,27 @@ def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
+def replicate(mesh, tree):
+    """Replicate a host-value pytree across the global mesh.
+
+    Every process passes identical values (e.g. the compiled scene / render
+    params built from the same code); returns globally-replicated jax.Arrays
+    usable as inputs to the sharded step on a multi-process mesh.  Plain
+    `device_put` refuses process-local values against a global sharding, so
+    this goes through `make_array_from_callback` (verified bit-identical to
+    the single-process render in tests/test_parallel.py's 2-process test).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+
+    def _one(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rep, lambda idx: x[idx])
+
+    return jax.tree.map(_one, tree)
+
+
 def host_local_target(mesh, target: np.ndarray, sharding) -> jax.Array:
     """Build a globally-sharded (H, W, 3) array from per-host numpy data.
 

@@ -265,6 +265,70 @@ def bench_config(
     )
 
 
+def bench_scaling(
+    scene_data,
+    cam,
+    *,
+    width: int = 256,
+    height: int = 256,
+    spp: int = 1,
+    bounces: int = 4,
+    tile_counts=(1, 2, 4, 8),
+    reps: int = 3,
+    target_seconds: float = 1.0,
+    log: Callable[[str], None] = lambda s: None,
+) -> list:
+    """Mesh-size scaling table: slope-timed per-frame cost of the sharded
+    whole-budget render at growing tile counts, with parallel efficiency
+    relative to tiles=1 (target >= 90% to 2+ hosts, BASELINE.md).
+
+    Runs on whatever devices exist: the 8-virtual-device CPU mesh in tests
+    (methodology check — virtual devices share physical cores, so CPU
+    efficiency numbers are indicative only) and real chips when present, so
+    real-hardware scaling evidence is one `bench.py --full` away.
+    Returns [{tiles, per_frame_s, efficiency}, ...].
+    """
+    import jax
+
+    from ..parallel import sharded
+    from ..parallel.mesh import make_mesh
+    from ..scene.types import RenderParams
+
+    ndev = len(jax.devices())
+    rows = []
+    base = None
+    for tiles in tile_counts:
+        if tiles > ndev or height % tiles:
+            log(f"scaling: skip tiles={tiles} (devices={ndev}, height={height})")
+            continue
+        mesh = make_mesh(tiles=tiles, samples=1)
+        scene_t = jax.device_put(scene_data)
+
+        cache = {}
+
+        def budget(scene, params, n, _mesh=mesh, _cache=cache):
+            if n not in _cache:
+                _cache[n] = sharded.make_sharded_render_all(
+                    _mesh, width=width, height=height, aspect=width / height,
+                    frames=n, samples_per_frame=spp, max_bounces=bounces,
+                )
+            return _cache[n](scene, params)
+
+        res = measure_budget(
+            budget, scene_t, cam, width=width, height=height, spp=spp,
+            bounces=bounces, reps=reps, target_seconds=target_seconds,
+            profile=False, log=log,
+        )
+        if base is None:
+            base = res.per_frame_s
+        eff = base / (res.per_frame_s * tiles) if res.per_frame_s > 0 else 0.0
+        rows.append({"tiles": tiles, "per_frame_s": res.per_frame_s,
+                     "efficiency": eff, "ok": res.ok})
+        log(f"scaling tiles={tiles}: {res.per_frame_s*1e3:.2f} ms/frame, "
+            f"efficiency {eff*100:.0f}% (ok={res.ok})")
+    return rows
+
+
 def headline_record(result: BenchResult, backend: str) -> dict:
     """The one-line JSON record the driver consumes (vs 1e9 rays/s/chip)."""
     rec = {
