@@ -36,7 +36,7 @@ def test_bench_config_smoke(small_scene):
     assert res.per_frame_s > 0
     assert res.n2 == 2 * res.n1
     rec = headline_record(res, "cpu")
-    assert rec["metric"] == "bvh_traversal_rays_per_s_cpu"
+    assert rec["metric"] == "ray_scene_intersections_per_s_cpu"
     assert rec["value"] == res.rays_per_s
     assert rec["vs_baseline"] == res.rays_per_s / 1e9
 

@@ -274,3 +274,35 @@ def test_two_process_distributed_render(tmp_path):
     step = sharded.make_sharded_frame_step(mesh, width=16, height=16, aspect=1.0)
     ref = np.asarray(step(scene, params, sharded.zeros_acc(mesh, 16, 16)))
     np.testing.assert_array_equal(combined, ref)
+
+
+def test_sample_shard_estimator_converges_to_sequential(scene_data):
+    """Convergence check (r1 verdict 'weak 7'): accumulating many frames,
+    the sample-sharded estimator must converge to the SEQUENTIAL estimator's
+    converged image — a subtle bias in the decorrelated sample streams would
+    leave a persistent gap that no frame count shrinks."""
+    mesh = make_mesh(tiles=1, samples=4)
+    step = make_sharded_frame_step(
+        mesh, width=W, height=H, aspect=ASPECT, samples_per_frame=4,
+        max_bounces=2,
+    )
+
+    def sharded_mean(frames):
+        acc = zeros_acc(mesh, H, W)
+        for f in range(1, frames + 1):
+            acc = step(scene_data, _params(f), acc)
+        return np.asarray(acc, np.float64)
+
+    def sequential_mean(frames):
+        ref = jnp.zeros((H, W, 3), jnp.float32)
+        for f in range(1, frames + 1):
+            ref = accumulate(ref, _unsharded(scene_data, frame=f, spp=4), f,
+                             enabled=True)
+        return np.asarray(ref, np.float64)
+
+    truth = sequential_mean(96)
+    errs = [np.abs(sharded_mean(n) - truth).mean() for n in (6, 48)]
+    # 8x the frames must cut the gap roughly like 1/sqrt(N) (allow slack for
+    # the truth's own residual noise); an estimator bias would plateau.
+    assert errs[1] < errs[0] * 0.55, errs
+    assert errs[1] < 0.15, errs

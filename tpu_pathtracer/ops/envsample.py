@@ -93,8 +93,9 @@ def _invert_exclusive_cdf(cdf_at, target, size):
     (shipped commented out, raytrace.wgsl:398).
     """
     shape = target.shape
-    lo = jnp.zeros(shape, jnp.int32)  # invariant: cdf[lo] <= target
-    hi = jnp.full(shape, size, jnp.int32)  # invariant: target < cdf[hi] (cdf[size]=1)
+    zi = (target * jnp.float32(0.0)).astype(jnp.int32)  # vma taint (check_vma)
+    lo = zi  # invariant: cdf[lo] <= target
+    hi = jnp.full(shape, size, jnp.int32) + zi  # invariant: target < cdf[hi] (cdf[size]=1)
     for _ in range(max(1, int(np.ceil(np.log2(max(size, 2)))))):
         mid = (lo + hi) // 2
         go_right = cdf_at(mid) <= target

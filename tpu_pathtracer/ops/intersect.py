@@ -123,12 +123,16 @@ def bvh_intersect(nodes, tri_pos, ro, rd):
         z = jnp.zeros((R,), jnp.float32)
         return Hit(jnp.zeros((R,), bool), jnp.full((R,), INF), jnp.full((R,), -1, jnp.int32), z, z)
 
+    # ray-derived zeros taint the literal inits with the rays' value-
+    # varying-axes type (shard_map check_vma; numeric no-op)
+    zf = ro[:, 0] * jnp.float32(0.0)
+    zi = zf.astype(jnp.int32)
     init = (
-        jnp.zeros((R,), jnp.int32),  # ptr
-        jnp.full((R,), INF),
-        jnp.full((R,), -1, jnp.int32),
-        jnp.zeros((R,), jnp.float32),
-        jnp.zeros((R,), jnp.float32),
+        zi,  # ptr
+        jnp.full((R,), INF) + zf,
+        jnp.full((R,), -1, jnp.int32) + zi,
+        zf,
+        zf,
     )
 
     def cond(state):
@@ -228,17 +232,19 @@ def bvh_intersect_stack(bvh, triangles, ro, rd):
 
     root_hit = ray_aabb(ro, rd, bvh.node_min[0], bvh.node_max[0])
 
-    stack = jnp.zeros((R, MAX_STACK_SIZE), jnp.int32)
+    zi = (ro[:, 0] * jnp.float32(0.0)).astype(jnp.int32)  # vma taint
+    stack = jnp.zeros((R, MAX_STACK_SIZE), jnp.int32) + zi[:, None]
     sp = jnp.where(root_hit, 1, 0).astype(jnp.int32)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, MAX_STACK_SIZE), 1)
 
+    zf = zi.astype(jnp.float32)
     init = (
         stack,
         sp,
-        jnp.full((R,), INF),
-        jnp.full((R,), -1, jnp.int32),
-        jnp.zeros((R,), jnp.float32),
-        jnp.zeros((R,), jnp.float32),
+        jnp.full((R,), INF) + zf,
+        jnp.full((R,), -1, jnp.int32) + zi,
+        zf,
+        zf,
     )
 
     def cond(state):

@@ -149,11 +149,15 @@ def mt_intersect(tri_pos, ro, rd, *, chunk: int = 512):
     phi = ray_features(ro, rd)  # (R, 10)
     cols = triangle_columns(tri_pos)  # (10, 4, N)
 
+    # ray-derived zeros taint the literal inits with the rays' value-
+    # varying-axes type (shard_map check_vma; numeric no-op)
+    zf = ro[:, 0] * jnp.float32(0.0)
+    zi = zf.astype(jnp.int32)
     init = (
-        jnp.full((R,), INF),
-        jnp.full((R,), -1, jnp.int32),
-        jnp.zeros((R,), jnp.float32),
-        jnp.zeros((R,), jnp.float32),
+        jnp.full((R,), INF) + zf,
+        jnp.full((R,), -1, jnp.int32) + zi,
+        zf,
+        zf,
     )
 
     if N <= chunk:

@@ -140,6 +140,14 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
 
     mat_rows = pack_material_rows(scene.materials)
 
+    # A zero that carries `seed`'s value-varying-axes type: literal loop-
+    # carry inits must match the body's vma type under shard_map's checker
+    # (check_vma=True), and seed is axis-varying whenever the surrounding
+    # shard_fn varies it (row offset / sample salt).  Numerically a no-op,
+    # fused away by XLA.
+    vz = (seed ^ seed).astype(jnp.uint32)
+    zf = vz.astype(jnp.float32)[:, None]
+
     def body(_, carry):
         ro, rd, incoming, color, seed, active = carry
         # Park terminated rays far away with rd = 0: their determinant is
@@ -161,10 +169,10 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
     init = (
         ro,
         rd,
-        jnp.zeros((R, 3), jnp.float32),
-        jnp.ones((R, 3), jnp.float32),
+        jnp.zeros((R, 3), jnp.float32) + zf,
+        jnp.ones((R, 3), jnp.float32) + zf,
         seed,
-        jnp.ones((R,), bool),
+        jnp.ones((R,), bool) ^ (vz != 0),
     )
     if differentiable:
         # while_loop has no reverse-mode rule; the fixed-trip fori_loop is
@@ -336,6 +344,9 @@ def render_frame(
         r2a = np.float32(0.7548776662466927)
         r2b = np.float32(0.5698402909980532)
 
+    # taint the accumulator init with seed's vma type (see trace_rays)
+    zf0 = (seed ^ seed).astype(jnp.float32)[:, None]
+
     def sample_body(s, carry):
         seed, acc = carry
         if blue_noise is not None:
@@ -357,7 +368,8 @@ def render_frame(
         return seed, acc + light
 
     _, acc = jax.lax.fori_loop(
-        0, samples_per_frame, sample_body, (seed, jnp.zeros((R, 3), jnp.float32))
+        0, samples_per_frame, sample_body,
+        (seed, jnp.zeros((R, 3), jnp.float32) + zf0),
     )
     color = acc / np.float32(samples_per_frame)
     return color.reshape(height, width, 3)

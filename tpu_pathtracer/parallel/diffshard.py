@@ -83,9 +83,14 @@ def make_sharded_value_and_grad(
 
         loss, grads = jax.value_and_grad(local_loss)(values)
         loss = jax.lax.psum(loss, AXIS_TILES)
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, AXIS_TILES), grads
-        )
+        # No manual psum on grads: `values` is axis-INVARIANT (in_spec P()),
+        # so reverse-mode's transpose of the implicit invariant->varying
+        # broadcast already all-reduces the cotangents across the mesh
+        # (shard_map vma semantics).  A manual psum would multiply the
+        # gradients by the shard count (caught by
+        # tests/test_parallel.py::test_sharded_grads_match_unsharded when
+        # check_vma went from disabled to on).  The all-reduce is still
+        # scheduled by XLA against the remaining backward work.
         return loss, grads
 
     return jax.jit(f)

@@ -59,15 +59,11 @@ def single_device_mesh() -> Mesh:
 
 
 def shard_map_compat_kwargs(shard_map_fn) -> dict:
-    """Kwargs disabling the value-varying-axes checker across jax versions
-    (check_vma in jax >= 0.8, check_rep before): the trace loop's while_loop
-    carries start from literals inside the shard and only become
-    axis-varying through the body, which the checker rejects."""
-    import inspect
-
-    params = inspect.signature(shard_map_fn).parameters
-    if "check_vma" in params:
-        return {"check_vma": False}
-    if "check_rep" in params:
-        return {"check_rep": False}
+    """shard_map kwargs; the value-varying-axes checker (check_vma) now runs
+    at its DEFAULT (enabled).  Round 1 disabled it globally because loop
+    carries initialized from literals inside the shard only become
+    axis-varying through the body; those inits are now tainted with
+    ray/seed-derived zeros at every site (ops/trace.py, ops/intersect.py,
+    ops/mt_matmul.py, ops/envsample.py), so the checker passes — verified by
+    tests/test_parallel.py which runs every sharded path with it on."""
     return {}

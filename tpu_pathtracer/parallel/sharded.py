@@ -91,7 +91,16 @@ def make_sharded_frame_step(
     )
     def shard_fn(scene, params, acc_shard):
         ti = jax.lax.axis_index(AXIS_TILES)
-        si = jax.lax.axis_index(AXIS_SAMPLES)
+        # Sample-axis salt only when that axis is real: at n_samples == 1 the
+        # salt is identically 0 anyway, but deriving it from axis_index would
+        # type the output as samples-VARYING with no psum to discharge it,
+        # which the vma checker rightly rejects against the tiles-only
+        # out_spec.
+        if n_samples > 1:
+            si = jax.lax.axis_index(AXIS_SAMPLES)
+            salt = si.astype(jnp.uint32) * jnp.uint32(_SALT)
+        else:
+            salt = None
         img = render_frame(
             scene,
             params,
@@ -105,7 +114,7 @@ def make_sharded_frame_step(
             blue_noise=blue_noise,
             row_offset=ti * rows,
             full_height=height,
-            seed_salt=si.astype(jnp.uint32) * jnp.uint32(_SALT),
+            seed_salt=salt,
         )
         # Mean over the sample axis: each shard holds the mean of its
         # spp_local samples, so the cross-shard mean is psum / n_samples.

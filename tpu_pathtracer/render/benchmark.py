@@ -332,7 +332,7 @@ def bench_scaling(
 def headline_record(result: BenchResult, backend: str) -> dict:
     """The one-line JSON record the driver consumes (vs 1e9 rays/s/chip)."""
     rec = {
-        "metric": f"bvh_traversal_rays_per_s_{backend}",
+        "metric": f"ray_scene_intersections_per_s_{backend}",
         "value": result.rays_per_s,
         "unit": "rays/s",
         "vs_baseline": result.rays_per_s / 1e9,
