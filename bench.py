@@ -52,6 +52,7 @@ def headline(reps=3):
     )
     log(
         f"headline 512^2x1sppx4b: {res.rays_per_s:.3e} rays/s  "
+        f"{W * H * SPP / res.per_frame_s / 1e6:.1f} Mpaths/s  "
         f"per-frame {res.per_frame_s*1e3:.2f} ms (slope; "
         f"T({res.n1})={res.t_n1_s:.2f}s T({res.n2})={res.t_n2_s:.2f}s, "
         f"spread {res.spread_rel*100:.0f}%, linearity {res.linearity:.2f}, "
@@ -149,7 +150,8 @@ def main() -> None:
     res = headline()
     from tpu_pathtracer.render.benchmark import headline_record
 
-    print(json.dumps(headline_record(res, backend)))
+    paths_per_s = 512 * 512 * 1 / res.per_frame_s
+    print(json.dumps(headline_record(res, backend, paths_per_s)))
 
 
 if __name__ == "__main__":

@@ -78,6 +78,47 @@ def env_radiance(env, uv):
     return sample_bilinear(env.radiance, uv)
 
 
+def pack_env_patches(radiance):
+    """(H, W, 3) -> (H*W, 12) rows holding each texel's 2x2 bilinear patch
+    [c(y,x), c(y,x+1), c(y+1,x), c(y+1,x+1)] with clamp-to-edge neighbors.
+
+    One WIDE row gather then replaces the four narrow gathers of
+    `sample_bilinear` — the measured per-index gather cost on this TPU is
+    independent of row width (docs/DESIGN_NOTES.md), so this quarters the
+    env-lookup cost in the bounce loop.  Built from `radiance` inside the
+    jitted trace (differentiable, hoisted out of the bounce loop by XLA).
+    """
+    h, w = radiance.shape[0], radiance.shape[1]
+    xs = jnp.minimum(jnp.arange(w) + 1, w - 1)
+    ys = jnp.minimum(jnp.arange(h) + 1, h - 1)
+    c00 = radiance
+    c10 = radiance[:, xs]
+    c01 = radiance[ys]
+    c11 = radiance[ys][:, xs]
+    return jnp.concatenate([c00, c10, c01, c11], axis=-1).reshape(h * w, 12)
+
+
+def env_radiance_packed(patches, shape, uv):
+    """Bilinear env fetch from `pack_env_patches` rows; bit-matches
+    `sample_bilinear` (incl. its clamp-to-edge tap semantics: when the
+    left/top tap clamps, both taps read the same texel, which the packed
+    row reproduces by zeroing the fraction)."""
+    h, w = shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    # when floor < 0 both original taps clamp to texel 0 -> fraction 0
+    fx = jnp.where(x0f < 0, 0.0, x - x0f)[..., None]
+    fy = jnp.where(y0f < 0, 0.0, y - y0f)[..., None]
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    row = patches[y0 * w + x0]  # (..., 12) single gather
+    top = row[..., 0:3] + (row[..., 3:6] - row[..., 0:3]) * fx
+    bot = row[..., 6:9] + (row[..., 9:12] - row[..., 6:9]) * fx
+    return top + (bot - top) * fy
+
+
 def _invert_exclusive_cdf(cdf_at, target, size):
     """Exact inversion of an exclusive per-texel CDF.
 

@@ -138,7 +138,10 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
         fn = bvh_intersect_diff if differentiable else bvh_intersect
         intersect_fn = partial(fn, scene.packed.nodes, scene.packed.tri_pos)
 
-    mat_rows = pack_material_rows(scene.materials)
+    # Pre-packed wide-row tables (one gather per bounce each; hoisted out of
+    # the bounce loop by XLA, differentiable w.r.t. materials/env radiance).
+    shade_mat = pack_shade_material_rows(scene)
+    env_patches = envsample.pack_env_patches(scene.env.radiance)
 
     # A zero that carries `seed`'s value-varying-axes type: literal loop-
     # carry inits must match the body's vma type under shard_map's checker
@@ -163,7 +166,8 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
         )
         return bounce_shade(
             scene, params, hit, (ro, rd, incoming, color, seed, active),
-            env_importance=env_importance, mat_rows=mat_rows,
+            env_importance=env_importance, shade_mat=shade_mat,
+            env_patches=env_patches,
         )
 
     init = (
@@ -198,19 +202,57 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
     return incoming, seed
 
 
+def pack_shade_material_rows(scene):
+    """Join the per-triangle shading row with its material row:
+    (N, 21) = [n0(3), n1(3), n2(3), material row(12)].  ONE gather per
+    bounce then yields normals AND material values together (the material
+    row join is itself one (N,)-index gather, hoisted out of the bounce
+    loop by XLA; gradients flow through pack_material_rows' concat)."""
+    mat_rows = pack_material_rows(scene.materials)
+    mat_idx = jax.lax.bitcast_convert_type(
+        scene.packed.tri_shade[:, 9], jnp.int32
+    )
+    tri_mat = mat_rows[jnp.clip(mat_idx, 0, mat_rows.shape[0] - 1)]
+    return jnp.concatenate([scene.packed.tri_shade[:, 0:9], tri_mat], axis=1)
+
+
+def _material_from_row(row):
+    return {
+        "color": row[:, 9:12],
+        "specular_color": row[:, 12:15],
+        "emission_color": row[:, 15:18],
+        "roughness": row[:, 18],
+        "metalness": row[:, 19],
+        "emission_strength": row[:, 20],
+    }
+
+
 def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
-                 mat_rows=None):
+                 mat_rows=None, shade_mat=None, env_patches=None):
     """One bounce of the trace loop given a Hit: BRDF sample + emission +
     throughput update on hits, environment lookup on misses
     (raytrace.wgsl:378-408).  Shared by the megakernel (`trace_rays`) and
-    the wavefront tracer (ops/wavefront.py).  `mat_rows`: optional
-    pre-packed material table (pack_material_rows) to share across bounces."""
+    the wavefront tracer (ops/wavefront.py).
+
+    Optional pre-packed tables (all built per trace, hoisted out of the
+    bounce loop; each replaces several narrow gathers with one wide row
+    gather — the measured gather cost is per-index, width-free):
+      * `shade_mat`: (N, 21) joined normals+material rows
+        (pack_shade_material_rows); else `mat_rows`/per-field fallback,
+      * `env_patches`: (H*W, 12) bilinear patch rows
+        (envsample.pack_env_patches)."""
     ro, rd, incoming, color, seed, active = carry
     tris = scene.triangles
     hit_mask = active & hit.hit
 
     tri_safe = jnp.clip(hit.tri, 0, tris.p0.shape[0] - 1)
-    shade = scene.packed.tri_shade[tri_safe]  # (R, 10) single gather
+    if shade_mat is not None:
+        shade = shade_mat[tri_safe]  # (R, 21) single gather
+        mat = _material_from_row(shade)
+    else:
+        shade = scene.packed.tri_shade[tri_safe]  # (R, 10) single gather
+        mat_idx = jax.lax.bitcast_convert_type(shade[:, 9], jnp.int32)
+        mat = _gather_material(scene.materials, mat_idx, mat_rows)
     w = 1.0 - hit.u - hit.v
     normal = normalize(
         shade[:, 0:3] * w[:, None]
@@ -218,9 +260,6 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
         + shade[:, 6:9] * hit.v[:, None]
     )
     position = ro + hit.t[:, None] * rd
-
-    mat_idx = jax.lax.bitcast_convert_type(shade[:, 9], jnp.int32)
-    mat = _gather_material(scene.materials, mat_idx, mat_rows)
 
     # RNG: hit rays consume 7 uniforms (6 for the cosine direction, 1 for
     # the specular decision); missed/inactive rays must not advance.
@@ -233,21 +272,24 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
 
     # --- miss branch: environment lookup -----------------------------
     miss_mask = active & ~hit.hit
+
+    def _radiance(uv):
+        if env_patches is not None:
+            shape = (scene.env.height, scene.env.width)
+            return envsample.env_radiance_packed(env_patches, shape, uv)
+        return envsample.env_radiance(scene.env, uv)
+
     if env_importance:
         # The reference's (shipped-disabled) importance-sampled variant,
         # with the PDF correction applied to the env term only
         # (raytrace.wgsl:398-404).  Consumes 2 uniforms on miss.
         seed_m, env_uv = envsample.env_importance_sample(scene.env, seed)
         pdf = envsample.env_pdf(scene.env, env_uv)
-        env_contrib = (
-            envsample.env_radiance(scene.env, env_uv)
-            * params.env_intensity
-            / pdf[:, None]
-        )
+        env_contrib = _radiance(env_uv) * params.env_intensity / pdf[:, None]
         seed = jnp.where(miss_mask, seed_m, seed)
     else:
         env_uv = envsample.env_uv_from_ray(rd, params.env_rotation)
-        env_contrib = envsample.env_radiance(scene.env, env_uv) * params.env_intensity
+        env_contrib = _radiance(env_uv) * params.env_intensity
 
     emitted = mat["emission_color"] * mat["emission_strength"][:, None]
     incoming = incoming + jnp.where(hit_mask[:, None], emitted * color, 0.0)

@@ -329,14 +329,22 @@ def bench_scaling(
     return rows
 
 
-def headline_record(result: BenchResult, backend: str) -> dict:
-    """The one-line JSON record the driver consumes (vs 1e9 rays/s/chip)."""
+def headline_record(result: BenchResult, backend: str,
+                    paths_per_s: Optional[float] = None) -> dict:
+    """The one-line JSON record the driver consumes (vs 1e9 rays/s/chip).
+
+    `paths_per_s` is the useful-work companion metric (completed camera
+    paths per second = W*H*spp / frame time): rays/s counts every bounce
+    iteration over the full lane set, which rewards re-traversing lanes
+    that terminated early (round-1 verdict 'weak 2'); paths/s does not."""
     rec = {
         "metric": f"ray_scene_intersections_per_s_{backend}",
         "value": result.rays_per_s,
         "unit": "rays/s",
         "vs_baseline": result.rays_per_s / 1e9,
     }
+    if paths_per_s is not None:
+        rec["paths_per_s"] = paths_per_s
     if not result.ok:
         rec["suspect"] = True
         rec["reasons"] = result.reasons
