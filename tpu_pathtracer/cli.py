@@ -48,6 +48,14 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--aperture", type=float, default=0.0)
     p.add_argument("--env-importance", action="store_true",
                    help="enable CDF importance sampling of the environment")
+    p.add_argument("--intersector", choices=["auto", "mt", "mt_pallas", "bvh"],
+                   default="auto",
+                   help="intersection backend: MXU Möller–Trumbore (mt / fused"
+                        " mt_pallas) or skip-link BVH traversal; auto picks by"
+                        " scene size and backend")
+    p.add_argument("--blue-noise", action="store_true",
+                   help="blue-noise low-discrepancy AA jitter (lower "
+                        "low-frequency error at small sample counts)")
     p.add_argument("--shard-tiles", type=int, default=1,
                    help="shard image rows over this many devices")
     p.add_argument("--shard-samples", type=int, default=1,
@@ -99,6 +107,8 @@ def _build_renderer(args):
     cfg = RenderConfig(
         width=args.width, height=args.height, scaling_factor=args.scale,
         frames=args.frames, samples_per_frame=args.spp, max_bounces=args.bounces,
+        intersector=args.intersector,
+        blue_noise=getattr(args, "blue_noise", False),
     )
     post = PostConfig(denoise=args.denoise, tonemap=Tonemap[args.tonemap.upper()])
     shard = None
@@ -273,6 +283,8 @@ def cmd_view(args) -> int:
         width=args.width, height=args.height, scaling_factor=args.scale,
         frames=args.frames, samples_per_frame=args.spp,
         max_bounces=args.bounces,
+        intersector=args.intersector,
+        blue_noise=getattr(args, "blue_noise", False),
     )
     post = PostConfig(denoise=args.denoise, tonemap=Tonemap[args.tonemap.upper()])
     shard = None

@@ -60,6 +60,9 @@ PARAM_SPEC = [
     {"name": "tonemap", "kind": "select", "options": ["none", "aces", "reinhard"],
      "label": "Tonemap"},                                      # main.ts:337-349
     {"name": "timing", "kind": "bool", "label": "Per-pass timing"},
+    {"name": "intersector", "kind": "select",
+     "options": ["auto", "mt", "mt_pallas", "bvh"], "label": "Intersector"},
+    {"name": "blue_noise", "kind": "bool", "label": "Blue-noise AA"},
 ]
 
 
@@ -217,6 +220,8 @@ class ViewerSession:
             "denoise": r.post.denoise,
             "tonemap": Tonemap(r.post.tonemap).name.lower(),
             "timing": r.enable_timing,
+            "intersector": c.intersector,
+            "blue_noise": c.blue_noise,
         }
 
     def frame_png(self) -> tuple[int, bytes]:
@@ -240,7 +245,8 @@ class ViewerSession:
             r = self.renderer
             cfg_map = {"scale": "scaling_factor", "frames": "frames",
                        "spp": "samples_per_frame", "bounces": "max_bounces",
-                       "accumulate": "accumulate"}
+                       "accumulate": "accumulate", "intersector": "intersector",
+                       "blue_noise": "blue_noise"}
             cfg_updates = {cfg_map[k]: updates[k] for k in cfg_map
                            if k in updates}
             if cfg_updates:
