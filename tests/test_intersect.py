@@ -105,3 +105,51 @@ def test_empty_scene_misses():
     rd = jnp.asarray(np.tile([[0, 0, -1]], (8, 1)).astype(np.float32))
     h = bvh_intersect(sd.packed.nodes, sd.packed.tri_pos, ro, rd)
     assert not np.asarray(h.hit).any()
+
+
+def test_fat_bvh_matches_skip_link():
+    """bvh8 (fat-leaf, 8 triangles inlined per node row) vs the 1-tri-leaf
+    skip-link walk: identical hit masks and distances; triangle choices may
+    differ only on exact-t ties (shared mesh edges)."""
+    from tpu_pathtracer.ops.intersect import bvh_fat_intersect
+
+    sd = _random_soup_scene(n=300, seed=4)
+    rs = np.random.RandomState(7)
+    ro = jnp.asarray(rs.uniform(-3, 3, (512, 3)).astype(np.float32))
+    rd = rs.randn(512, 3).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    h_fat = bvh_fat_intersect(sd.packed.fat_nodes, ro, rd)
+    h_ref = bvh_intersect(sd.packed.nodes, sd.packed.tri_pos, ro, rd)
+    hf, hr = np.asarray(h_fat.hit), np.asarray(h_ref.hit)
+    assert hf.sum() > 50
+    np.testing.assert_array_equal(hf, hr)
+    m = hf
+    np.testing.assert_allclose(np.asarray(h_fat.t)[m], np.asarray(h_ref.t)[m],
+                               rtol=2e-6, atol=1e-7)
+    same = np.asarray(h_fat.tri)[m] == np.asarray(h_ref.tri)[m]
+    assert same.mean() > 0.98, (~same).sum()
+    # mismatches must be exact-t ties
+    np.testing.assert_allclose(np.asarray(h_fat.t)[m][~same],
+                               np.asarray(h_ref.t)[m][~same], rtol=1e-6)
+
+
+def test_fat_bvh_default_scene_and_render():
+    """End-to-end: the bvh8 intersector renders the default scene close to
+    the mt default (same image up to tie-break edge pixels)."""
+    import tpu_pathtracer as pt
+    from tpu_pathtracer.ops.trace import render_frame
+    from tpu_pathtracer.scene.envmap import gradient_sky
+    from tpu_pathtracer.scene.types import Camera, RenderParams
+
+    sd = pt.default_scene(gradient_sky(16, 32)).compile()
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    p = RenderParams.create(cam, frame=1)
+    a = np.asarray(render_frame(sd, p, width=24, height=24, aspect=1.0,
+                                max_bounces=2, intersector="bvh8"))
+    b = np.asarray(render_frame(sd, p, width=24, height=24, aspect=1.0,
+                                max_bounces=2, intersector="mt"))
+    assert np.isfinite(a).all()
+    # identical RNG streams; images agree except possibly tie-break pixels
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-4).all(axis=-1)
+    assert close.mean() > 0.97, close.mean()

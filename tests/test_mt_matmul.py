@@ -180,9 +180,10 @@ def test_resolve_intersector():
     from tpu_pathtracer.ops.trace import MT_AUTO_MAX_TRIS, resolve_intersector
 
     assert resolve_intersector("auto", 2048) in ("mt", "mt_pallas")
-    assert resolve_intersector("auto", MT_AUTO_MAX_TRIS + 1) == "bvh"
+    assert resolve_intersector("auto", MT_AUTO_MAX_TRIS + 1) == "bvh8"
     assert resolve_intersector("bvh", 16) == "bvh"
     assert resolve_intersector("mt_pallas", 16) == "mt_pallas"
+    assert resolve_intersector("bvh8", 16) == "bvh8"
     with pytest.raises(ValueError):
         resolve_intersector("nope", 16)
 

@@ -338,3 +338,105 @@ def brute_force_intersect(triangles, ro, rd, num_valid=None):
         per_tri, init, (triangles.p0, triangles.p1, triangles.p2)
     )
     return Hit(best_tri >= 0, best_t, best_tri, best_u, best_v)
+
+
+def _map_ray_batches(fn, ro, rd, batch: int):
+    """Run `fn(ro, rd) -> Hit` over sub-batches of the ray axis via lax.map.
+
+    The traversal while_loops run in lockstep over their whole batch: ONE
+    worst-case ray (e.g. a shell-crossing ray visiting thousands of boxes)
+    stalls every lane for its full path.  Sub-batching bounds the damage to
+    one batch — measured 3.4x on the 100K-tri stress scene (BASELINE.md).
+    Batches run sequentially (lax.map), which is free on a single core.
+    """
+    R = ro.shape[0]
+    if batch <= 0 or R <= batch or R % batch:
+        return fn(ro, rd)
+    n = R // batch
+    hits = jax.lax.map(
+        lambda ab: fn(ab[0], ab[1]),
+        (ro.reshape(n, batch, 3), rd.reshape(n, batch, 3)),
+    )
+    return Hit(*(x.reshape(R) for x in hits))
+
+
+def bvh_fat_intersect(fat_nodes, ro, rd, *, max_leaf: int = 8,
+                      ray_batch: int = 16384):
+    if ray_batch:
+        fn = lambda a, b: bvh_fat_intersect(fat_nodes, a, b,
+                                            max_leaf=max_leaf, ray_batch=0)
+        return _map_ray_batches(fn, ro, rd, ray_batch)
+    return _bvh_fat_intersect_impl(fat_nodes, ro, rd, max_leaf=max_leaf)
+
+
+def _bvh_fat_intersect_impl(fat_nodes, ro, rd, *, max_leaf: int = 8):
+    """Skip-link traversal over the fat-leaf BVH (accel.bvh.links_to_fat).
+
+    Each visited node costs ONE wide gather (box + up to `max_leaf` inlined
+    triangles) instead of a node gather plus a triangle gather per leaf —
+    and the fat tree has ~max_leaf x fewer nodes, so the gather-bound
+    lockstep step count (the whole cost on TPU) shrinks accordingly.
+    Triangle tests inside a leaf are vectorized over the leaf axis (cheap
+    VPU work).  Nearest hit wins; within a leaf the lowest row index takes
+    exact-t ties; across nodes the first-visited node wins (the traversal-
+    order convention of `bvh_intersect`).  `Hit.tri` indexes the PACKED
+    (DFS leaf order) triangle rows like the other intersectors.
+    """
+    R = ro.shape[0]
+    K = fat_nodes.shape[0]
+    L = max_leaf
+    if K == 0:  # empty-scene early out (raytrace.wgsl:205-211)
+        z = jnp.zeros((R,), jnp.float32)
+        return Hit(jnp.zeros((R,), bool), jnp.full((R,), INF),
+                   jnp.full((R,), -1, jnp.int32), z, z)
+
+    zf = ro[:, 0] * jnp.float32(0.0)  # vma taint (shard_map check_vma)
+    zi = zf.astype(jnp.int32)
+    init = (
+        zi,  # ptr
+        jnp.full((R,), INF) + zf,
+        jnp.full((R,), -1, jnp.int32) + zi,
+        zf,
+        zf,
+    )
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    rows_r = jnp.arange(R)
+
+    def cond(state):
+        return jnp.any(state[0] < K)
+
+    def body(state):
+        ptr, best_t, best_tri, best_u, best_v = state
+        active = ptr < K
+        p = jnp.where(active, ptr, 0)
+
+        row = fat_nodes[p]  # (R, 9 + 9L) single gather
+        box_hit, box_tmin = ray_aabb_t(ro, rd, row[:, 0:3], row[:, 3:6])
+        box_hit = box_hit & active & (box_tmin < best_t)
+
+        miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        tstart = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        count = jax.lax.bitcast_convert_type(row[:, 8], jnp.int32)
+        is_leaf = count > 0
+
+        tp = row[:, 9:].reshape(R, L, 9)
+        valid, t, u, v = ray_triangle(
+            ro[:, None, :], rd[:, None, :],
+            tp[..., 0:3], tp[..., 3:6], tp[..., 6:9],
+        )
+        usable = valid & (lanes < count[:, None]) & (box_hit & is_leaf)[:, None]
+        t = jnp.where(usable, t, INF)
+        j = jnp.argmin(t, axis=1)
+        t_j = t[rows_r, j]
+        take = t_j < best_t
+        best_t = jnp.where(take, t_j, best_t)
+        best_tri = jnp.where(take, tstart + j.astype(jnp.int32), best_tri)
+        best_u = jnp.where(take, u[rows_r, j], best_u)
+        best_v = jnp.where(take, v[rows_r, j], best_v)
+
+        nxt = jnp.where(box_hit & ~is_leaf, p + 1, miss)
+        ptr = jnp.where(active, nxt, ptr)
+        return ptr, best_t, best_tri, best_u, best_v
+
+    _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    return Hit(best_tri >= 0, best_t, best_tri, best_u, best_v)

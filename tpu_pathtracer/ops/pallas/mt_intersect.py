@@ -124,41 +124,58 @@ def _kernel(phi_ref, cols_ref, boxes_ref, t_ref, idx_ref, u_ref, v_ref,
             sa = jnp.sign(a)
             us = ua * sa
             vs = va * sa
-            ts = ta * sa
+            f = jnp.float32(1.0) / jnp.where(abs_a >= EPSILON, a, jnp.float32(1.0))
+            t_raw = ta * f
+            # t > EPSILON directly on the recovered t (equivalent to the
+            # sign-multiplied ts > EPSILON*|a| form, one mul cheaper; the
+            # abs_a >= EPSILON clause keeps garbage-f lanes invalid)
             valid = (
                 (abs_a >= EPSILON)
                 & (us >= 0.0)
                 & (us <= abs_a)
                 & (vs >= 0.0)
                 & (us + vs <= abs_a)
-                & (ts > EPSILON * abs_a)
+                & (t_raw > EPSILON)
             )
-            f = jnp.float32(1.0) / jnp.where(abs_a >= EPSILON, a, jnp.float32(1.0))
-            t = jnp.where(valid, ta * f, INF)  # (C, TR)
-
+            t = jnp.where(valid, t_raw, INF)  # (C, TR)
             tmin = jnp.min(t, axis=0, keepdims=True)  # (1, TR)
-            rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + c0
-            sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
-            imin = jnp.min(sel_rows, axis=0, keepdims=True)  # lowest-index tie
-            sel = sel_rows == imin
-            u_w = jnp.sum(jnp.where(sel, ua * f, 0.0), axis=0, keepdims=True)
-            v_w = jnp.sum(jnp.where(sel, va * f, 0.0), axis=0, keepdims=True)
-
             take = tmin < best_t
-            return (
-                jnp.where(take, tmin, best_t),
-                jnp.where(take, imin, best_i),
-                jnp.where(take, u_w, best_u),
-                jnp.where(take, v_w, best_v),
-            )
+
+            def winner(best):
+                # Only when some lane improves: recover the winning row's
+                # index (lowest-index tie) and its barycentrics.  Most live
+                # chunks improve nothing once best_t tightens, so this
+                # selection work is usually skipped.
+                best_t, best_i, best_u, best_v = best
+                rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + c0
+                sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
+                imin = jnp.min(sel_rows, axis=0, keepdims=True)
+                sel = sel_rows == imin
+                u_w = jnp.sum(jnp.where(sel, ua * f, 0.0), axis=0, keepdims=True)
+                v_w = jnp.sum(jnp.where(sel, va * f, 0.0), axis=0, keepdims=True)
+                return (
+                    jnp.where(take, tmin, best_t),
+                    jnp.where(take, imin, best_i),
+                    jnp.where(take, u_w, best_u),
+                    jnp.where(take, v_w, best_v),
+                )
+
+            any_take = jnp.sum(take.astype(jnp.int32)) > 0
+            return jax.lax.cond(any_take, winner, lambda b: b, best)
 
         return jax.lax.cond(any_live, do, lambda b: b, best)
 
+    # phi-derived zeros taint the literal inits with the rays' value-varying
+    # type — only matters when the kernel body is TRACED under shard_map
+    # (interpret mode in the sharded CPU tests); compiled TPU kernels see an
+    # empty vma and XLA folds the zeros away.
+    kzf = phi[0:1, :] * jnp.float32(0.0)
+    kzi = kzf.astype(jnp.int32)
     init = (
-        jnp.full((1, tr), INF, jnp.float32),
-        jnp.full((1, tr), -1, jnp.int32),
-        jnp.zeros((1, tr), jnp.float32),
-        jnp.zeros((1, tr), jnp.float32),
+        jnp.full((1, tr), INF, jnp.float32) + kzf,
+        jnp.full((1, tr), -1, jnp.int32) + kzi,
+        kzf,
+        kzf,
     )
     best_t, best_i, best_u, best_v = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init
@@ -225,11 +242,17 @@ def mt_intersect_pallas(tri_pos, ro, rd, *, interpret: bool = False):
 
     grid = (r_pad // TILE_RAYS,)
     kernel = functools.partial(_kernel, n_tris=n_pad, chunk=chunk)
+    # Under shard_map with check_vma=True, pallas_call outputs must declare
+    # their value-varying-axes type explicitly: the hit record varies over
+    # exactly the axes the rays vary over.
+    vma = getattr(jax.typeof(ro), "vma", None) if hasattr(jax, "typeof") else None
+    sds = (functools.partial(jax.ShapeDtypeStruct, vma=vma)
+           if vma else jax.ShapeDtypeStruct)
     out_shape = [
-        jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
-        jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
-        jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
-        jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+        sds((1, r_pad), jnp.float32),
+        sds((1, r_pad), jnp.int32),
+        sds((1, r_pad), jnp.float32),
+        sds((1, r_pad), jnp.float32),
     ]
     out_spec = pl.BlockSpec((1, TILE_RAYS), lambda i: (0, i),
                             memory_space=pltpu.VMEM)

@@ -46,12 +46,14 @@ def resolve_intersector(intersector: str, n_tris: int) -> str:
 
     'auto' picks the fused Pallas MT kernel on TPU, the XLA MT matmul on
     other backends (same math, so CPU tests cover the TPU path), and the
-    gather traversal for scenes too large for all-pairs testing."""
+    fat-leaf gather traversal ('bvh8') for scenes too large for all-pairs
+    testing; 'bvh' is the reference-contract 1-triangle-leaf skip-link
+    walk."""
     if intersector == "auto":
         if n_tris <= MT_AUTO_MAX_TRIS:
             return "mt_pallas" if jax.default_backend() == "tpu" else "mt"
-        return "bvh"
-    if intersector not in ("mt", "mt_pallas", "bvh"):
+        return "bvh8"
+    if intersector not in ("mt", "mt_pallas", "bvh", "bvh8"):
         raise ValueError(f"unknown intersector {intersector!r}")
     return intersector
 
@@ -114,6 +116,13 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
     """
     R = ro.shape[0]
     kind = resolve_intersector(intersector, scene.packed.tri_pos.shape[0])
+    if kind == "mt_pallas" and getattr(jax.typeof(ro), "vma", None):
+        # Mosaic kernels cannot (yet) be traced with value-varying-axes on
+        # their operands (shard_map check_vma): jax offers no
+        # varying->invariant pcast and the kernel trace does not auto-vary
+        # literals.  Inside shard_map the XLA MT formulation runs instead —
+        # same math, parity-tested; revisit per jax release.
+        kind = "mt"
     if kind in ("mt", "mt_pallas"):
         tri_pos = scene.packed.tri_pos
         if kind == "mt_pallas":
@@ -134,6 +143,21 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
                 return replay_hit(tri_pos, ro, rd, h)
         else:
             intersect_fn = lambda ro, rd: base_fn(tri_pos, ro, rd)
+    elif kind == "bvh8":
+        from .intersect import bvh_fat_intersect, replay_hit
+
+        fat = scene.packed.fat_nodes
+        tri_pos = scene.packed.tri_pos
+        if differentiable:
+            def intersect_fn(ro, rd):
+                h = bvh_fat_intersect(
+                    jax.lax.stop_gradient(fat),
+                    jax.lax.stop_gradient(ro),
+                    jax.lax.stop_gradient(rd),
+                )
+                return replay_hit(tri_pos, ro, rd, h)
+        else:
+            intersect_fn = lambda ro, rd: bvh_fat_intersect(fat, ro, rd)
     else:
         fn = bvh_intersect_diff if differentiable else bvh_intersect
         intersect_fn = partial(fn, scene.packed.nodes, scene.packed.tri_pos)

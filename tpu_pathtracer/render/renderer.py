@@ -363,6 +363,14 @@ class Renderer:
             return self.timings["fullscreen"].time_blocked(run)
         return run()
 
+    def set_env_importance(self, enabled: bool) -> None:
+        """Toggle env CDF importance sampling; rebuilds the jitted step
+        (the public API the viewer uses instead of poking _rebuild)."""
+        enabled = bool(enabled)
+        if enabled != self.env_importance:
+            self.env_importance = enabled
+            self._rebuild()
+
     def set_timing(self, enabled: bool) -> None:
         """Toggle per-pass timing; the only supported way to change it after
         construction (enforces the single-device guard the constructor

@@ -254,11 +254,39 @@ class Scene:
         )
         tri_perm = np.full((cap_tris,), -1, np.int32)
         tri_perm[:n] = leaf_order
+
+        # Fat-leaf traversal layout (large-scene path): collapse <=8-leaf
+        # subtrees and inline their packed triangle rows into the node row
+        # (accel.bvh.links_to_fat; walked by ops/intersect.bvh_fat_intersect).
+        from ..accel.bvh import links_to_fat
+
+        ltri_unpadded = (
+            np.where(links_np["tri"] >= 0,
+                     inv_order[np.clip(links_np["tri"], 0, max(n - 1, 0))],
+                     -1).astype(np.int32)
+            if n else links_np["tri"]
+        )
+        fat_np = links_to_fat(links_np, packed_tri_pos, ltri_unpadded)
+        k2 = fat_np.shape[0]
+        cap_fat = pad_pow2(max(k2, 1), 1)
+        width = fat_np.shape[1] if fat_np.size else 81
+        fat_padded = np.zeros((cap_fat, width), np.float32)
+        fat_padded[:, 0:3] = np.float32(np.inf)   # inverted boxes: never hit
+        fat_padded[:, 3:6] = np.float32(-np.inf)
+        fat_padded[:, 6] = np.int32(cap_fat).view(np.float32)
+        if k2:
+            # re-target the termination sentinel to the padded node count
+            mcol = np.ascontiguousarray(fat_np[:, 6]).view(np.int32)
+            mcol[mcol == k2] = cap_fat
+            fat_np[:, 6] = mcol.view(np.float32)
+            fat_padded[:k2] = fat_np
+
         packed = PackedGeometry(
             nodes=jnp.asarray(packed_nodes),
             tri_pos=jnp.asarray(packed_tri_pos),
             tri_shade=jnp.asarray(packed_tri_shade),
             tri_perm=jnp.asarray(tri_perm),
+            fat_nodes=jnp.asarray(fat_padded),
         )
 
         nmat = max(1, len(materials))

@@ -117,7 +117,7 @@ class LinkedBVH:
         return self.tri.shape[0]
 
 
-@_register(data=("nodes", "tri_pos", "tri_shade", "tri_perm"))
+@_register(data=("nodes", "tri_pos", "tri_shade", "tri_perm", "fat_nodes"))
 class PackedGeometry:
     """Gather-friendly packed copies of the geometry + BVH for the hot loop.
 
@@ -130,6 +130,9 @@ class PackedGeometry:
       tri_pos:   (N, 9)  f32 = [p0, p1, p2]
       tri_shade: (N, 10) f32 = [n0, n1, n2, bitcast(material_idx)]
       tri_perm:  (N,)    i32 = original triangle index of each packed row
+      fat_nodes: (K2, 81) f32 fat-leaf skip-link rows (accel.bvh.links_to_fat):
+                 box + miss link + up to 8 inlined triangles per node — the
+                 large-scene traversal layout (ops/intersect.bvh_fat_intersect)
 
     Triangle rows are laid out in BVH-DFS *leaf order* (spatially coherent),
     so fixed-size row chunks are tight treelets — the culling granularity of
@@ -145,6 +148,7 @@ class PackedGeometry:
     tri_pos: jax.Array
     tri_shade: jax.Array
     tri_perm: jax.Array
+    fat_nodes: jax.Array
 
 
 @_register(

@@ -61,7 +61,7 @@ PARAM_SPEC = [
      "label": "Tonemap"},                                      # main.ts:337-349
     {"name": "timing", "kind": "bool", "label": "Per-pass timing"},
     {"name": "intersector", "kind": "select",
-     "options": ["auto", "mt", "mt_pallas", "bvh"], "label": "Intersector"},
+     "options": ["auto", "mt", "mt_pallas", "bvh", "bvh8"], "label": "Intersector"},
     {"name": "blue_noise", "kind": "bool", "label": "Blue-noise AA"},
 ]
 
@@ -267,8 +267,7 @@ class ViewerSession:
                 r.env_rotation = math.radians(float(updates["env_rotation"]))
                 r.reset()
             if "env_importance" in updates:
-                r.env_importance = bool(updates["env_importance"])
-                r._rebuild()
+                r.set_env_importance(bool(updates["env_importance"]))
                 r.reset()
             if "timing" in updates:
                 try:
