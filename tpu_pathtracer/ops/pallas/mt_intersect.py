@@ -226,6 +226,15 @@ def mt_intersect_pallas(tri_pos, ro, rd, *, interpret: bool = False):
         z = jnp.zeros((R,), jnp.float32)
         return Hit(jnp.zeros((R,), bool), jnp.full((R,), INF),
                    jnp.full((R,), -1, jnp.int32), z, z)
+    if N > 8192:
+        # the coefficient table + double-buffered chunk intermediates
+        # exceed VMEM past this (measured: 16K tris -> 17.2 MB vs the 16 MB
+        # scoped limit); fail with intent instead of a compiler OOM
+        raise ValueError(
+            f"mt_pallas holds the whole scene in VMEM and supports <= 8192 "
+            f"triangles (got {N}); use intersector='bvh8' (the auto default "
+            "for large scenes) or 'mt'"
+        )
 
     chunk = min(CHUNK_TRIS, max(8, int(np.ceil(N / 8)) * 8))
     n_pad = int(np.ceil(N / chunk)) * chunk  # zero rows are degenerate: no hit

@@ -34,11 +34,12 @@ from .vecmath import mix, normalize, reflect
 
 # Scenes at or below this padded triangle count default to the MXU
 # Möller–Trumbore intersector (ops/mt_matmul.py): on TPU the all-pairs
-# matmul beats the gather-bound traversal by ~3 orders of magnitude
-# (docs/DESIGN_NOTES.md), and its O(R*N) VPU epilogue only overtakes the
-# traversal's O(R*steps) gather cost well past this size.  The rule is
-# platform-independent so CPU tests exercise the TPU path.
-MT_AUTO_MAX_TRIS = 16384
+# formulation beats the gather-bound traversal by orders of magnitude
+# (docs/DESIGN_NOTES.md).  The cap is set by the fused kernel's VMEM
+# budget: the whole coefficient table + chunk intermediates must fit the
+# 16 MB scoped limit (measured: 16K tris -> 17.2 MB, OOM; 8K fits).  The
+# rule is platform-independent so CPU tests exercise the TPU path.
+MT_AUTO_MAX_TRIS = 8192
 
 
 def resolve_intersector(intersector: str, n_tris: int) -> str:
