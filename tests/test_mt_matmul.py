@@ -212,3 +212,26 @@ def test_mt_diff_gradients_match_bvh_diff():
     g_bvh = jax.grad(loss_bvh)(ro)
     np.testing.assert_allclose(np.asarray(g_mt), np.asarray(g_bvh), rtol=1e-5, atol=1e-6)
     assert np.abs(np.asarray(g_mt)).sum() > 0
+
+
+def test_mt_stream_interpret_parity():
+    """The HBM-streamed kernel variant matches the XLA MT intersector
+    (chunk-major layout, revisited-output best state, j==0 init)."""
+    from tpu_pathtracer.ops.pallas.mt_intersect import mt_intersect_stream
+
+    rng = np.random.default_rng(17)
+    tri = random_tri_pos(rng, 700)  # several chunks, unaligned
+    ro, rd = random_rays(rng, 1300)
+    ha = mt_intersect(tri, ro, rd)
+    hb = mt_intersect_stream(tri, ro, rd, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ha.hit), np.asarray(hb.hit))
+    m = np.asarray(ha.hit)
+    assert m.sum() > 100
+    np.testing.assert_array_equal(np.asarray(ha.tri)[m], np.asarray(hb.tri)[m])
+    # grazing near-zero-t hits re-associate slightly differently
+    np.testing.assert_allclose(np.asarray(ha.t)[m], np.asarray(hb.t)[m],
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ha.u)[m], np.asarray(hb.u)[m],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ha.v)[m], np.asarray(hb.v)[m],
+                               rtol=1e-3, atol=1e-4)

@@ -48,7 +48,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--aperture", type=float, default=0.0)
     p.add_argument("--env-importance", action="store_true",
                    help="enable CDF importance sampling of the environment")
-    p.add_argument("--intersector", choices=["auto", "mt", "mt_pallas", "bvh", "bvh8"],
+    p.add_argument("--intersector", choices=["auto", "mt", "mt_pallas", "mt_stream", "bvh", "bvh8"],
                    default="auto",
                    help="intersection backend: MXU Möller–Trumbore (mt / fused"
                         " mt_pallas) or skip-link BVH traversal; auto picks by"

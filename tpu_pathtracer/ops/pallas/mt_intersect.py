@@ -288,3 +288,205 @@ def mt_intersect_pallas(tri_pos, ro, rd, *, interpret: bool = False):
     idx = idx[0, :R]
     hit = idx >= 0
     return Hit(hit, t, idx, u[0, :R], v[0, :R])
+
+
+def _kernel_stream(phi_ref, cols_hbm, boxes_ref, t_ref, idx_ref, u_ref,
+                   v_ref, cull_ref, buf_ref, sem_ref, *, chunk, n_chunks):
+    """Streamed variant: the whole (n_chunks, 4C, 10) coefficient table
+    stays in HBM; the kernel double-buffers chunk blocks into VMEM with
+    manual async DMA inside its own fori_loop.  A grid dimension per chunk
+    was measured 40x slower (~25 us of grid-step overhead per (tile, chunk)
+    vs ~0.5 us for an in-kernel lax.cond — docs/DESIGN_NOTES.md); the DMA
+    is unconditional (bandwidth is cheap: the whole table per ray tile),
+    the compute is skipped for culled chunks like the whole-scene kernel.
+    """
+    phi = phi_ref[:]  # (10, TR)
+    tr = phi.shape[1]
+
+    # ---- per-tile treelet culling table (same as _kernel) ---------------
+    ro = phi[1:4, :]
+    rd = phi[4:7, :]
+    par = jnp.abs(rd) < EPSILON
+    inv = jnp.float32(1.0) / jnp.where(par, jnp.float32(1.0), rd)
+    bmin = boxes_ref[:, 0:3]
+    bmax = boxes_ref[:, 3:6]
+    hit_par = jnp.ones((n_chunks, tr), bool)
+    tmin_all = jnp.full((n_chunks, tr), -INF, jnp.float32)
+    tmax_all = jnp.full((n_chunks, tr), INF, jnp.float32)
+    for k in range(3):
+        pk = par[k : k + 1, :]
+        lo = (bmin[:, k : k + 1] - ro[k : k + 1, :]) * inv[k : k + 1, :]
+        hi = (bmax[:, k : k + 1] - ro[k : k + 1, :]) * inv[k : k + 1, :]
+        tn = jnp.where(pk, -INF, jnp.minimum(lo, hi))
+        tf = jnp.where(pk, INF, jnp.maximum(lo, hi))
+        inside = (ro[k : k + 1, :] >= bmin[:, k : k + 1]) & (
+            ro[k : k + 1, :] <= bmax[:, k : k + 1]
+        )
+        hit_par &= (~pk) | inside
+        tmin_all = jnp.maximum(tmin_all, tn)
+        tmax_all = jnp.minimum(tmax_all, tf)
+    box_hit = hit_par & (tmax_all >= jnp.maximum(jnp.float32(0.0), tmin_all))
+    cull_ref[:] = jnp.where(box_hit, tmin_all, INF)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            cols_hbm.at[c], buf_ref.at[slot], sem_ref.at[slot]
+        )
+
+    get_dma(0, 0).start()
+
+    def chunk_body(c, best):
+        best_t, best_i, best_u, best_v = best
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _prefetch():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        get_dma(slot, c).wait()
+
+        entry = cull_ref[pl.ds(c, 1), :]
+        any_live = jnp.sum((entry < best_t).astype(jnp.int32)) > 0
+
+        def do(best):
+            best_t, best_i, best_u, best_v = best
+            rows = buf_ref[slot]  # (4C, 10)
+
+            def dets(q):
+                qrows = rows[q * chunk : (q + 1) * chunk, :]
+                out = None
+                for k in _FEATS[q]:
+                    term = qrows[:, k : k + 1] * phi[k : k + 1, :]
+                    out = term if out is None else out + term
+                return out
+
+            a, ua, va, ta = dets(0), dets(1), dets(2), dets(3)
+            abs_a = jnp.abs(a)
+            sa = jnp.sign(a)
+            us = ua * sa
+            vs = va * sa
+            f = jnp.float32(1.0) / jnp.where(abs_a >= EPSILON, a, jnp.float32(1.0))
+            t_raw = ta * f
+            valid = (
+                (abs_a >= EPSILON)
+                & (us >= 0.0)
+                & (us <= abs_a)
+                & (vs >= 0.0)
+                & (us + vs <= abs_a)
+                & (t_raw > EPSILON)
+            )
+            t = jnp.where(valid, t_raw, INF)
+            tmin = jnp.min(t, axis=0, keepdims=True)
+            take = tmin < best_t
+
+            def winner(best):
+                best_t, best_i, best_u, best_v = best
+                rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + c * chunk
+                sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
+                imin = jnp.min(sel_rows, axis=0, keepdims=True)
+                sel = sel_rows == imin
+                u_w = jnp.sum(jnp.where(sel, ua * f, 0.0), axis=0, keepdims=True)
+                v_w = jnp.sum(jnp.where(sel, va * f, 0.0), axis=0, keepdims=True)
+                return (
+                    jnp.where(take, tmin, best_t),
+                    jnp.where(take, imin, best_i),
+                    jnp.where(take, u_w, best_u),
+                    jnp.where(take, v_w, best_v),
+                )
+
+            any_take = jnp.sum(take.astype(jnp.int32)) > 0
+            return jax.lax.cond(any_take, winner, lambda b: b, best)
+
+        return jax.lax.cond(any_live, do, lambda b: b, best)
+
+    kzf = phi[0:1, :] * jnp.float32(0.0)
+    kzi = kzf.astype(jnp.int32)
+    init = (
+        jnp.full((1, tr), INF, jnp.float32) + kzf,
+        jnp.full((1, tr), -1, jnp.int32) + kzi,
+        kzf,
+        kzf,
+    )
+    best_t, best_i, best_u, best_v = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, init
+    )
+    t_ref[:] = best_t
+    idx_ref[:] = best_i
+    u_ref[:] = best_u
+    v_ref[:] = best_v
+
+
+# VMEM wall of the whole-scene kernel (measured: 16K tris -> 17.2 MB) and
+# the streamed kernel's cull-table scratch cap (M = N/CHUNK_TRIS rows).
+MT_PALLAS_MAX_TRIS = 8192
+MT_STREAM_MAX_TRIS = 131072
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mt_intersect_stream(tri_pos, ro, rd, *, interpret: bool = False):
+    """Streamed fused MT intersection for scenes past the whole-scene VMEM
+    wall (8K < N <= 128K): triangle coefficient chunks stream from HBM via
+    a second grid dimension (Mosaic double-buffers the block DMA) while the
+    running best hit lives in the revisited output blocks.  Same math and
+    culling as `mt_intersect_pallas`; parity-tested."""
+    R = ro.shape[0]
+    N = tri_pos.shape[0]
+    if N == 0:
+        z = jnp.zeros((R,), jnp.float32)
+        return Hit(jnp.zeros((R,), bool), jnp.full((R,), INF),
+                   jnp.full((R,), -1, jnp.int32), z, z)
+    if N > MT_STREAM_MAX_TRIS:
+        raise ValueError(
+            f"mt_stream's cull table scales with N/{CHUNK_TRIS} and supports "
+            f"<= {MT_STREAM_MAX_TRIS} triangles (got {N}); use 'bvh8'"
+        )
+
+    chunk = min(CHUNK_TRIS, max(8, int(np.ceil(N / 8)) * 8))
+    n_pad = int(np.ceil(N / chunk)) * chunk
+    r_pad = int(np.ceil(R / TILE_RAYS)) * TILE_RAYS
+    n_chunks = n_pad // chunk
+
+    tri_padded = _pad_to(tri_pos, n_pad, 0)
+    cols = triangle_columns(tri_padded)  # (10, 4, Np)
+    # chunk-major blocks: (n_chunks, 4C, 10), quantity-major rows per chunk
+    cols_chunks = jnp.transpose(
+        cols.reshape(10, 4, n_chunks, chunk), (2, 1, 3, 0)
+    ).reshape(n_chunks, 4 * chunk, 10)
+    boxes = treelet_boxes(tri_padded, chunk)
+    phi = ray_features(ro, rd)
+    phi_t = _pad_to(phi.T, r_pad, 1, value=1e30)
+
+    vma = getattr(jax.typeof(ro), "vma", None) if hasattr(jax, "typeof") else None
+    sds = (functools.partial(jax.ShapeDtypeStruct, vma=vma)
+           if vma else jax.ShapeDtypeStruct)
+    out_spec = pl.BlockSpec((1, TILE_RAYS), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_stream, chunk=chunk, n_chunks=n_chunks)
+    t, idx, u, v = pl.pallas_call(
+        kernel,
+        grid=(r_pad // TILE_RAYS,),
+        in_specs=[
+            pl.BlockSpec((10, TILE_RAYS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # cols stay in HBM
+            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            sds((1, r_pad), jnp.float32),
+            sds((1, r_pad), jnp.int32),
+            sds((1, r_pad), jnp.float32),
+            sds((1, r_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_chunks, TILE_RAYS), jnp.float32),
+            pltpu.VMEM((2, 4 * chunk, 10), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(phi_t, cols_chunks, boxes)
+
+    t = t[0, :R]
+    idx = idx[0, :R]
+    return Hit(idx >= 0, t, idx, u[0, :R], v[0, :R])

@@ -45,16 +45,18 @@ MT_AUTO_MAX_TRIS = 8192
 def resolve_intersector(intersector: str, n_tris: int) -> str:
     """Resolve the 'auto' intersector choice to a concrete backend.
 
-    'auto' picks the fused Pallas MT kernel on TPU, the XLA MT matmul on
-    other backends (same math, so CPU tests cover the TPU path), and the
-    fat-leaf gather traversal ('bvh8') for scenes too large for all-pairs
-    testing; 'bvh' is the reference-contract 1-triangle-leaf skip-link
-    walk."""
+    'auto' picks the fused Pallas MT kernel on TPU (whole-scene in VMEM,
+    up to its 8K-triangle VMEM wall), the XLA MT matmul on other backends
+    (same math, so CPU tests cover the TPU path), and the fat-leaf gather
+    traversal ('bvh8') beyond; 'bvh' is the reference-contract
+    1-triangle-leaf skip-link walk.  'mt_stream' (HBM-streamed chunks) is
+    selectable but measured 4.5x slower than bvh8 at 32K triangles
+    (docs/DESIGN_NOTES.md), so auto never picks it."""
     if intersector == "auto":
         if n_tris <= MT_AUTO_MAX_TRIS:
             return "mt_pallas" if jax.default_backend() == "tpu" else "mt"
         return "bvh8"
-    if intersector not in ("mt", "mt_pallas", "bvh", "bvh8"):
+    if intersector not in ("mt", "mt_pallas", "mt_stream", "bvh", "bvh8"):
         raise ValueError(f"unknown intersector {intersector!r}")
     return intersector
 
@@ -117,7 +119,7 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
     """
     R = ro.shape[0]
     kind = resolve_intersector(intersector, scene.packed.tri_pos.shape[0])
-    if kind == "mt_pallas" and getattr(jax.typeof(ro), "vma", None):
+    if kind in ("mt_pallas", "mt_stream") and getattr(jax.typeof(ro), "vma", None):
         # Mosaic kernels cannot (yet) be traced with value-varying-axes on
         # their operands (shard_map check_vma): jax offers no
         # varying->invariant pcast and the kernel trace does not auto-vary

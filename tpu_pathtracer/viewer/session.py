@@ -61,7 +61,7 @@ PARAM_SPEC = [
      "label": "Tonemap"},                                      # main.ts:337-349
     {"name": "timing", "kind": "bool", "label": "Per-pass timing"},
     {"name": "intersector", "kind": "select",
-     "options": ["auto", "mt", "mt_pallas", "bvh", "bvh8"], "label": "Intersector"},
+     "options": ["auto", "mt", "mt_pallas", "mt_stream", "bvh", "bvh8"], "label": "Intersector"},
     {"name": "blue_noise", "kind": "bool", "label": "Blue-noise AA"},
 ]
 
