@@ -468,7 +468,7 @@ def mt_intersect_stream(tri_pos, ro, rd, *, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((10, TILE_RAYS), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cols stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # cols stay in HBM
             pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
