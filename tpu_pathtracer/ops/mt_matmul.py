@@ -34,11 +34,8 @@ differs from the sequential formulation only by re-association.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .intersect import Hit
 from .vecmath import EPSILON, INF, cross

@@ -104,12 +104,13 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
     ro, rd: (R, 3); seed: (R,) uint32.
     Returns (incoming_light (R, 3), seed).
 
-    `intersector` selects the intersection backend (static): 'mt' = MXU
-    all-pairs Möller–Trumbore (ops/mt_matmul.py), 'bvh' = skip-link gather
-    traversal (ops/intersect.py), 'auto' = by scene size
-    (`resolve_intersector`).  Both are parity-tested against each other and
-    the numpy oracle; they differ only by f32 re-association and the
-    tie-break on exact shared-edge t ties.
+    `intersector` selects the intersection backend (static):
+    'mt'/'mt_pallas'/'mt_stream' = all-pairs Möller–Trumbore (XLA / fused
+    Pallas / HBM-streamed Pallas), 'bvh' = 1-tri-leaf skip-link traversal,
+    'bvh8' = fat-leaf sub-batched traversal, 'auto' = by scene size and
+    backend (`resolve_intersector`).  All are parity-tested against each
+    other and the numpy oracle; they differ only by f32 re-association and
+    the tie-break on exact shared-edge t ties.
 
     With `differentiable=True` the discrete triangle choice runs detached
     and (t, u, v) are replayed analytically (intersect.replay_hit), making

@@ -33,9 +33,8 @@ Methodology (round-2 rebuild; the round-1 numbers were dispatch artifacts):
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 # Conservative v5e-class ceilings for the sanity check (generous on purpose:
 # the gate exists to catch orders-of-magnitude artifacts, not 10% noise).

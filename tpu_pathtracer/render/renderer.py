@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import PostConfig, RenderConfig, Tonemap
+from ..config import PostConfig, RenderConfig
 from ..ops.trace import accumulate as accumulate_op
 from ..ops.trace import render_frame
 from ..post import postprocess
