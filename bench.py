@@ -96,6 +96,7 @@ def full_sweep():
         ("envlit_1080p", mesh_scene(32), cam, 1024, 1, 4),
         ("stress100K_512", mesh_scene(320), cam, 512, 1, 6),
     ]
+    sweep = {}
     for name, scene, c, size, spp, bounces in configs:
         data = jax.device_put(scene.compile())
         res = bench_config(data, c, width=size, height=size, spp=spp,
@@ -103,6 +104,16 @@ def full_sweep():
         mpaths = size * size * spp / res.per_frame_s / 1e6
         log(f"{name}: {res.rays_per_s:.3e} rays/s  {mpaths:.1f} Mpaths/s  "
             f"ok={res.ok} {res.reasons}")
+        sweep[name] = {
+            "rays_per_s": res.rays_per_s,
+            "per_frame_ms": res.per_frame_s * 1e3,
+            "paths_per_s": size * size * spp / res.per_frame_s,
+            "linearity": res.linearity,
+            "ok": res.ok,
+        }
+    with open("BENCH_SWEEP.json", "w") as f:
+        json.dump(sweep, f, indent=1)
+    log("sweep recorded to BENCH_SWEEP.json")
 
     # denoise+tonemap post at 1080p (fullscreen-pass equivalent), slope-timed
     import jax.numpy as jnp
@@ -143,6 +154,10 @@ def full_sweep():
 def main() -> None:
     import jax
 
+    from tpu_pathtracer.utils.compcache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
     if "--full" in sys.argv:
@@ -151,7 +166,14 @@ def main() -> None:
     from tpu_pathtracer.render.benchmark import headline_record
 
     paths_per_s = 512 * 512 * 1 / res.per_frame_s
-    print(json.dumps(headline_record(res, backend, paths_per_s)))
+    rec = headline_record(res, backend, paths_per_s)
+    import os
+
+    if os.path.exists("BENCH_SWEEP.json"):
+        # attach the most recent config sweep (written by `bench.py --full`)
+        with open("BENCH_SWEEP.json") as f:
+            rec["sweep"] = json.load(f)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

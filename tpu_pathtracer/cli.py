@@ -361,6 +361,11 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Persistent compilation cache: the headline program compiles in
+    # minutes cold (BENCH_r02: 229 s); warm runs load from disk instead.
+    from .utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="tpu_pathtracer",
         description="TPU-native progressive path tracer",

@@ -122,17 +122,20 @@ def _kernel(phi_ref, cols_ref, boxes_ref, sub_boxes_ref,
         sa = jnp.sign(a)
         us = ua * sa
         vs = va * sa
+        ts = ta * sa
         f = jnp.float32(1.0) / jnp.where(abs_a >= EPSILON, a, jnp.float32(1.0))
-        t_raw = ta * f
+        # Validity in multiplied-through form (ts > EPSILON*|a|), exactly as
+        # ops/mt_matmul._epilogue: the divided form (ta*f > EPSILON) differs
+        # under rounding for borderline-t lanes and broke bit-parity.
         valid = (
             (abs_a >= EPSILON)
             & (us >= 0.0)
             & (us <= abs_a)
             & (vs >= 0.0)
             & (us + vs <= abs_a)
-            & (t_raw > EPSILON)
+            & (ts > EPSILON * abs_a)
         )
-        t = jnp.where(valid, t_raw, INF)  # (S, TR)
+        t = jnp.where(valid, ta * f, INF)  # (S, TR)
         tmin = jnp.min(t, axis=0, keepdims=True)
         take = tmin < t_ref[:]
         any_take = jnp.sum(take.astype(jnp.int32)) > 0
@@ -227,6 +230,15 @@ def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
     grid = (r_pad // TILE_RAYS,)
     kernel = functools.partial(_kernel, n_tris=n_pad, chunk=chunk, sub=sub)
     vma = getattr(jax.typeof(ro), "vma", None) if hasattr(jax, "typeof") else None
+    if vma:
+        # Under shard_map with check_vma: scene operands are axis-invariant
+        # while rays vary, and the traced kernel body's binary ops require
+        # matching varying axes — pvary the scene tables up front (free: the
+        # data is replicated anyway).
+        axes = tuple(vma)
+        cols_rows = jax.lax.pcast(cols_rows, axes, to="varying")
+        boxes = jax.lax.pcast(boxes, axes, to="varying")
+        sub_boxes = jax.lax.pcast(sub_boxes, axes, to="varying")
     sds = (functools.partial(jax.ShapeDtypeStruct, vma=vma)
            if vma else jax.ShapeDtypeStruct)
     row_spec = pl.BlockSpec((1, TILE_RAYS), lambda i: (0, i),

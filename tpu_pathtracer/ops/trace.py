@@ -120,19 +120,23 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
     """
     R = ro.shape[0]
     kind = resolve_intersector(intersector, scene.packed.tri_pos.shape[0])
-    if kind in ("mt_pallas", "mt_stream") and getattr(jax.typeof(ro), "vma", None):
-        # Mosaic kernels cannot (yet) be traced with value-varying-axes on
-        # their operands (shard_map check_vma): jax offers no
-        # varying->invariant pcast and the kernel trace does not auto-vary
-        # literals.  Inside shard_map the XLA MT formulation runs instead —
-        # same math, parity-tested; revisit per jax release.
+    if (kind in ("mt_pallas", "mt_stream")
+            and getattr(jax.typeof(ro), "vma", None)
+            and jax.default_backend() != "tpu"):
+        # Under shard_map with check_vma, jax 0.9 traces the kernel with
+        # vma-stripped avals, so the COMPILED Mosaic path works (verified
+        # on-chip: sharded == unsharded bit-exact).  Only the interpreter
+        # lowering re-evals the kernel jaxpr with vma-typed values and
+        # trips the checker on literal operands — CPU (interpret) falls
+        # back to the XLA MT formulation (same math, parity-tested).
         kind = "mt"
     if kind in ("mt", "mt_pallas"):
         tri_pos = scene.packed.tri_pos
         if kind == "mt_pallas":
-            from .pallas.mt_intersect import mt_intersect_pallas
+            from .pallas.mt_shade import mt_intersect_pallas2
 
-            base_fn = mt_intersect_pallas
+            interp = jax.default_backend() != "tpu"
+            base_fn = partial(mt_intersect_pallas2, interpret=interp)
         else:
             base_fn = mt_intersect
         if differentiable:
@@ -256,7 +260,8 @@ def _material_from_row(row):
 
 
 def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
-                 mat_rows=None, shade_mat=None, env_patches=None):
+                 mat_rows=None, shade_mat=None, env_patches=None,
+                 defer_env: bool = False):
     """One bounce of the trace loop given a Hit: BRDF sample + emission +
     throughput update on hits, environment lookup on misses
     (raytrace.wgsl:378-408).  Shared by the megakernel (`trace_rays`) and
@@ -268,7 +273,12 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
       * `shade_mat`: (N, 21) joined normals+material rows
         (pack_shade_material_rows); else `mat_rows`/per-field fallback,
       * `env_patches`: (H*W, 12) bilinear patch rows
-        (envsample.pack_env_patches)."""
+        (envsample.pack_env_patches).
+
+    `defer_env=True` skips the environment lookup entirely (the fused
+    sorted path adds the env term once per ray after the bounce loop —
+    bit-identical, because a miss is always a ray's final event so the env
+    addend is the last term of its `incoming` sum either way)."""
     ro, rd, incoming, color, seed, active = carry
     tris = scene.triangles
     hit_mask = active & hit.hit
@@ -299,29 +309,32 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
     new_dir = mix(diffuse_dir, specular_dir, blend)  # deliberately unnormalized
 
     # --- miss branch: environment lookup -----------------------------
-    miss_mask = active & ~hit.hit
-
-    def _radiance(uv):
-        if env_patches is not None:
-            shape = (scene.env.height, scene.env.width)
-            return envsample.env_radiance_packed(env_patches, shape, uv)
-        return envsample.env_radiance(scene.env, uv)
-
-    if env_importance:
-        # The reference's (shipped-disabled) importance-sampled variant,
-        # with the PDF correction applied to the env term only
-        # (raytrace.wgsl:398-404).  Consumes 2 uniforms on miss.
-        seed_m, env_uv = envsample.env_importance_sample(scene.env, seed)
-        pdf = envsample.env_pdf(scene.env, env_uv)
-        env_contrib = _radiance(env_uv) * params.env_intensity / pdf[:, None]
-        seed = jnp.where(miss_mask, seed_m, seed)
-    else:
-        env_uv = envsample.env_uv_from_ray(rd, params.env_rotation)
-        env_contrib = _radiance(env_uv) * params.env_intensity
-
     emitted = mat["emission_color"] * mat["emission_strength"][:, None]
     incoming = incoming + jnp.where(hit_mask[:, None], emitted * color, 0.0)
-    incoming = incoming + jnp.where(miss_mask[:, None], env_contrib * color, 0.0)
+
+    if not defer_env:
+        miss_mask = active & ~hit.hit
+
+        def _radiance(uv):
+            if env_patches is not None:
+                shape = (scene.env.height, scene.env.width)
+                return envsample.env_radiance_packed(env_patches, shape, uv)
+            return envsample.env_radiance(scene.env, uv)
+
+        if env_importance:
+            # The reference's (shipped-disabled) importance-sampled variant,
+            # with the PDF correction applied to the env term only
+            # (raytrace.wgsl:398-404).  Consumes 2 uniforms on miss.
+            seed_m, env_uv = envsample.env_importance_sample(scene.env, seed)
+            pdf = envsample.env_pdf(scene.env, env_uv)
+            env_contrib = _radiance(env_uv) * params.env_intensity / pdf[:, None]
+            seed = jnp.where(miss_mask, seed_m, seed)
+        else:
+            env_uv = envsample.env_uv_from_ray(rd, params.env_rotation)
+            env_contrib = _radiance(env_uv) * params.env_intensity
+        incoming = incoming + jnp.where(
+            miss_mask[:, None], env_contrib * color, 0.0
+        )
 
     color = jnp.where(
         hit_mask[:, None],
@@ -334,6 +347,199 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
     active = hit_mask
 
     return ro, rd, incoming, color, seed, active
+
+
+def _sort_ray_state(key, ro, rd, color, incoming, seed, pixact):
+    """Stable-sort the per-ray bounce state by `key` (i32) using two
+    <=8-operand `lax.sort` calls (measured: key+8 payload columns sort in
+    ~0.17 ms at 512^2 on v5e, while a 12-payload sort falls off a cliff to
+    1.6 ms and an argsort+wide-gather permute costs 1.5-7 ms).  Both calls
+    share the identical key and stable sort, so they apply the same
+    permutation."""
+    seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
+    _, ro0, ro1, ro2, rd0, rd1, rd2, seed_i = jax.lax.sort(
+        (key, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+         seed_i),
+        dimension=0, num_keys=1,
+    )
+    _, c0, c1, c2, i0, i1, i2, pixact = jax.lax.sort(
+        (key, color[:, 0], color[:, 1], color[:, 2], incoming[:, 0],
+         incoming[:, 1], incoming[:, 2], pixact),
+        dimension=0, num_keys=1,
+    )
+    return (
+        jnp.stack([ro0, ro1, ro2], axis=1),
+        jnp.stack([rd0, rd1, rd2], axis=1),
+        jnp.stack([c0, c1, c2], axis=1),
+        jnp.stack([i0, i1, i2], axis=1),
+        jax.lax.bitcast_convert_type(seed_i, jnp.uint32),
+        pixact,
+    )
+
+
+_PIX_ACTIVE_BIT = np.int32(1 << 30)
+
+
+def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
+                     intersector_fn, shade_mat=None, env_patches=None):
+    """Sorted fused trace loop: the round-3 TPU fast path.
+
+    Same per-ray math and RNG streams as `trace_rays` (bit-identical
+    results), restructured around three measured wins
+    (docs/DESIGN_NOTES.md round 3):
+
+      * **Per-bounce ray binning.** After each bounce the live ray state is
+        stable-sorted by (hit triangle, outgoing-direction octant), so rays
+        sharing a kernel tile share treelet live-sets and terminated rays
+        sink to the tail where whole tiles park (measured: diffuse-bounce
+        intersect 7.0/4.8/3.7 ms -> 3.3/0.5/0.4 ms).  Ray order is
+        tracked in a carried pixel index and restored with one final sort.
+      * **Deferred environment lookup.** A miss is always a ray's last
+        event, so the env term is added once after the loop instead of
+        per bounce (the env patch gather costs ~0.85 ms/bounce) —
+        bit-identical summation order per ray.
+      * The per-bounce shade gather indices arrive clustered (rays were
+        sorted by the *previous* bounce's triangle), which the TPU gather
+        rewards (~2x measured for fully-sorted indices).
+
+    Returns (incoming, seed) in the INPUT ray order.
+    """
+    R = ro.shape[0]
+    shade_mat = shade_mat if shade_mat is not None else pack_shade_material_rows(scene)
+    env_patches = (env_patches if env_patches is not None
+                   else envsample.pack_env_patches(scene.env.radiance))
+    n_tris = scene.packed.tri_pos.shape[0]
+
+    vz = (seed ^ seed).astype(jnp.uint32)
+    zf = vz.astype(jnp.float32)[:, None]
+    pix = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0] + vz.astype(
+        jnp.int32
+    )
+
+    def body(state):
+        i, (ro, rd, incoming, color, seed, pixact) = state
+        active = pixact >= _PIX_ACTIVE_BIT
+        am = active[:, None]
+        hit = intersector_fn(
+            jnp.where(am, ro, jnp.float32(1e30)),
+            jnp.where(am, rd, jnp.float32(0.0)),
+        )
+        carry = (ro, rd, incoming, color, seed, active)
+        ro, rd, incoming, color, seed, active = bounce_shade(
+            scene, params, hit, carry, shade_mat=shade_mat, defer_env=True
+        )
+        # Bin for the next bounce: primary = hit triangle (groups rays by
+        # surface locality AND clusters the next shade gather's indices),
+        # secondary = new-direction octant (tightens treelet unions).
+        # Terminated rays sink to the tail (stable, so ties keep order).
+        octant = (
+            (rd[:, 0] > 0).astype(jnp.int32) * 4
+            + (rd[:, 1] > 0).astype(jnp.int32) * 2
+            + (rd[:, 2] > 0).astype(jnp.int32)
+        )
+        key = jnp.where(
+            active,
+            jnp.clip(hit.tri, 0, n_tris - 1) * 8 + octant,
+            jnp.int32(2**31 - 1),
+        )
+        pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
+            active, _PIX_ACTIVE_BIT, 0
+        )
+        ro, rd, color, incoming, seed, pixact = _sort_ray_state(
+            key, ro, rd, color, incoming, seed, pixact
+        )
+        return i + 1, (ro, rd, incoming, color, seed, pixact)
+
+    def cond(state):
+        i, carry = state
+        return (i < max_bounces) & jnp.any(carry[5] >= _PIX_ACTIVE_BIT)
+
+    init = (
+        ro,
+        rd,
+        jnp.zeros((R, 3), jnp.float32) + zf,
+        jnp.ones((R, 3), jnp.float32) + zf,
+        seed,
+        pix | _PIX_ACTIVE_BIT,
+    )
+    _, (ro, rd, incoming, color, seed, pixact) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init)
+    )
+
+    # Deferred environment term: exactly the rays that terminated via a
+    # miss (active := hit_mask, so inactive <=> missed); rays still active
+    # after max_bounces get nothing, as in the reference
+    # (raytrace.wgsl:378-408).  rd/color still hold their miss-time values
+    # (updates are hit-gated).
+    missed = pixact < _PIX_ACTIVE_BIT
+    env_uv = envsample.env_uv_from_ray(rd, params.env_rotation)
+    env = envsample.env_radiance_packed(
+        env_patches, (scene.env.height, scene.env.width), env_uv
+    )
+    incoming = incoming + jnp.where(
+        missed[:, None], env * params.env_intensity * color, 0.0
+    )
+
+    # Restore the caller's ray order (one 5-operand sort by pixel index).
+    pixkey = pixact & (_PIX_ACTIVE_BIT - 1)
+    seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
+    _, i0, i1, i2, seed_i = jax.lax.sort(
+        (pixkey, incoming[:, 0], incoming[:, 1], incoming[:, 2], seed_i),
+        dimension=0, num_keys=1,
+    )
+    return (
+        jnp.stack([i0, i1, i2], axis=1),
+        jax.lax.bitcast_convert_type(seed_i, jnp.uint32),
+    )
+
+
+def _any_vma(*xs):
+    """True if any argument carries value-varying axes (i.e. we are being
+    traced inside shard_map with check_vma): Mosaic kernels cannot be
+    traced with vma-typed operands, so the fused Pallas path must yield to
+    the XLA formulation there (same math, parity-tested)."""
+    if not hasattr(jax, "typeof"):
+        return False
+    for x in xs:
+        if x is None:
+            continue
+        try:
+            if getattr(jax.typeof(x), "vma", None):
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+def blocked_pixel_grid(height: int, width: int):
+    """Pixel coordinates in screen-block order: consecutive rays form
+    bh x bw screen blocks (largest power-of-two divisors <= 32), so each
+    1024-ray kernel tile covers a compact screen region instead of 2-4
+    full-width pixel rows.  Measured on the headline shape: primary-bounce
+    intersect 3.0 -> 2.2 ms purely from the tighter per-tile treelet
+    unions.  Returns (xs, ys) as flat (H*W,) i32; `unblock_image` inverts
+    the layout."""
+    bh = next(b for b in (32, 16, 8, 4, 2, 1) if height % b == 0)
+    bw = next(b for b in (32, 16, 8, 4, 2, 1) if width % b == 0)
+    shape = (height // bh, width // bw, bh, bw)
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * bh
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    )
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 1) * bw
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    )
+    return xs.reshape(-1), ys.reshape(-1)
+
+
+def unblock_image(flat, height: int, width: int):
+    """(H*W, C) in blocked_pixel_grid order -> (H, W, C) row-major."""
+    bh = next(b for b in (32, 16, 8, 4, 2, 1) if height % b == 0)
+    bw = next(b for b in (32, 16, 8, 4, 2, 1) if width % b == 0)
+    c = flat.shape[-1]
+    img = flat.reshape(height // bh, width // bw, bh, bw, c)
+    return jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(height, width, c)
 
 
 def render_frame(
@@ -383,10 +589,24 @@ def render_frame(
     if full_height is None:
         full_height = height
     R = width * height
-    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0) + jnp.asarray(
-        row_offset, jnp.int32
-    )
+    kind = resolve_intersector(intersector, scene.packed.tri_pos.shape[0])
+    # Under shard_map (vma-typed operands) the fused path still works on
+    # TPU — jax 0.9 strips vma for the Mosaic kernel trace (verified
+    # on-chip, sharded == unsharded bit-exact); only the CPU interpreter
+    # lowering trips the checker, so it falls back to the XLA loop there.
+    fused = (kind == "mt_pallas" and not differentiable and not env_importance
+             and (jax.default_backend() == "tpu"
+                  or not _any_vma(row_offset, seed_salt, params.frame)))
+    if fused:
+        # Fused sorted fast path (trace_rays_fused): rays laid out in
+        # screen-block order so kernel tiles cover compact regions.
+        xs, ys = blocked_pixel_grid(height, width)
+        ys = ys + jnp.asarray(row_offset, jnp.int32)
+    else:
+        xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        ys = jax.lax.broadcasted_iota(
+            jnp.int32, (height, width), 0
+        ) + jnp.asarray(row_offset, jnp.int32)
     uv = jnp.stack(
         [
             xs.astype(jnp.float32) / np.float32(width),
@@ -417,6 +637,17 @@ def render_frame(
     # taint the accumulator init with seed's vma type (see trace_rays)
     zf0 = (seed ^ seed).astype(jnp.float32)[:, None]
 
+    if fused:
+        from .pallas.mt_shade import mt_intersect_pallas2
+
+        tri_pos = scene.packed.tri_pos
+        interp = jax.default_backend() != "tpu"
+        intersector_fn = lambda o, d: mt_intersect_pallas2(
+            tri_pos, o, d, interpret=interp
+        )
+        shade_mat = pack_shade_material_rows(scene)
+        env_patches = envsample.pack_env_patches(scene.env.radiance)
+
     def sample_body(s, carry):
         seed, acc = carry
         if blue_noise is not None:
@@ -430,11 +661,18 @@ def render_frame(
         seed, o, d = camera_ops.apply_dof(
             seed, base_o, base_d, params.camera, resolution, aa_uniforms=aa
         )
-        light, seed = trace_rays(
-            scene, params, o, d, seed, max_bounces=max_bounces,
-            env_importance=env_importance, differentiable=differentiable,
-            intersector=intersector,
-        )
+        if fused:
+            light, seed = trace_rays_fused(
+                scene, params, o, d, seed, max_bounces=max_bounces,
+                intersector_fn=intersector_fn, shade_mat=shade_mat,
+                env_patches=env_patches,
+            )
+        else:
+            light, seed = trace_rays(
+                scene, params, o, d, seed, max_bounces=max_bounces,
+                env_importance=env_importance, differentiable=differentiable,
+                intersector=intersector,
+            )
         return seed, acc + light
 
     _, acc = jax.lax.fori_loop(
@@ -442,6 +680,8 @@ def render_frame(
         (seed, jnp.zeros((R, 3), jnp.float32) + zf0),
     )
     color = acc / np.float32(samples_per_frame)
+    if fused:
+        return unblock_image(color, height, width)
     return color.reshape(height, width, 3)
 
 

@@ -124,13 +124,18 @@ def measure_budget(
     reps: int = 3,
     target_seconds: float = 1.5,
     max_frames: int = 512,
-    linearity_tol: float = 0.35,
+    linearity_tol: float = 0.15,
     profile: bool = True,
     log: Callable[[str], None] = lambda s: None,
 ) -> BenchResult:
     """Measure per-frame time of `budget` with the slope method (see module
     docstring).  Returns a BenchResult; `ok=False` means the number failed
-    the linearity or physics gate and must not be published as a headline."""
+    the linearity or physics gate and must not be published as a headline.
+
+    Calibration is latency-aware (round-3 verdict item 8): n1 is sized so
+    the fixed dispatch+fetch latency (estimated from T(1) and T(2)) is
+    <=10% of T(n1), which keeps the linearity ratio meaningful; the
+    default tolerance band is |1 - linearity| <= 0.15."""
     import numpy as np
 
     from ..scene.types import RenderParams
@@ -142,9 +147,29 @@ def measure_budget(
     np.asarray(budget(scene_data, params, 1))
     compile_s = time.perf_counter() - t0
     t1 = min(_timed_fetch(lambda: budget(scene_data, params, 1), 2))
-    n1 = int(max(1, min(max_frames // 2, round(target_seconds / max(t1, 1e-4)))))
+    np.asarray(budget(scene_data, params, 2))
+    t2 = min(_timed_fetch(lambda: budget(scene_data, params, 2), 2))
+    # T(n) ~= latency + n * frame; require T(n1) >= 10x latency.
+    frame_est = max(t2 - t1, 1e-5)
+    latency_est = max(2 * t1 - t2, 0.0)
+    n1 = int(
+        max(
+            1,
+            min(
+                max_frames // 2,
+                max(
+                    round(target_seconds / frame_est),
+                    np.ceil(9.0 * latency_est / frame_est),
+                ),
+            ),
+        )
+    )
     n2 = 2 * n1
-    log(f"calibrate: T(1)={t1*1e3:.1f}ms -> n1={n1}, n2={n2}")
+    log(
+        f"calibrate: T(1)={t1*1e3:.1f}ms T(2)={t2*1e3:.1f}ms "
+        f"(frame~{frame_est*1e3:.1f}ms latency~{latency_est*1e3:.1f}ms) "
+        f"-> n1={n1}, n2={n2}"
+    )
 
     # --- timed points (medians) ------------------------------------------
     # compile both budget sizes before timing

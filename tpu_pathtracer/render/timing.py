@@ -77,6 +77,27 @@ class PassTimer:
         self.average.add_sample((time.perf_counter() - start) * 1e6)
         return out
 
+    def time_device(self, fn, *args, **kwargs):
+        """Run fn under the profiler and record its on-device span (the TPU
+        analogue of the reference's GPU timestamp queries, src/timing.ts:
+        56-98): no relay round-trip lands in the recorded number, and it
+        works for sharded programs where wall timing would fold in
+        cross-device dispatch skew.  Falls back to `time_blocked` when the
+        profiler yields no device events (e.g. pure-CPU test runs)."""
+        from ..utils.devtime import device_time
+
+        box = {}
+
+        def run():
+            box["out"] = fn(*args, **kwargs)
+            return box["out"]
+
+        dt = device_time(run)
+        if dt.get("ok") and dt.get("total_s", 0.0) > 0:
+            self.average.add_sample(dt["total_s"] * 1e6)
+            return box["out"]
+        return self.time_blocked(fn, *args, **kwargs)
+
     @property
     def value(self) -> float:
         return self.average.value
