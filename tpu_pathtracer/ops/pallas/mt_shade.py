@@ -80,6 +80,57 @@ def _slab_entries(boxes, ro, rd, par, inv):
     return jnp.where(box_hit, tmin_all, INF)
 
 
+def _mt_sub_block(phi, rows, s0, t_ref, idx_ref, u_ref, v_ref):
+    """Determinants + epilogue + best-hit update for one sub-treelet block.
+
+    phi: (10, TR); rows: 4x (S, 10) coefficient slices [a|ua|va|ta]; s0:
+    global triangle index of row 0.  Validity uses the multiplied-through
+    form (ts > EPSILON*|a|), exactly as ops/mt_matmul._epilogue — the
+    divided form (ta*f > EPSILON) differs under rounding for borderline-t
+    lanes and breaks bit-parity.  The best state lives in the output refs
+    and is updated in place under `pl.when` (cond carries copy it)."""
+
+    def dets(q):
+        out = None
+        for k in _FEATS[q]:
+            term = rows[q][:, k : k + 1] * phi[k : k + 1, :]
+            out = term if out is None else out + term
+        return out  # (S, TR)
+
+    a, ua, va, ta = dets(0), dets(1), dets(2), dets(3)
+    abs_a = jnp.abs(a)
+    sa = jnp.sign(a)
+    us = ua * sa
+    vs = va * sa
+    ts = ta * sa
+    f = jnp.float32(1.0) / jnp.where(abs_a >= EPSILON, a, jnp.float32(1.0))
+    valid = (
+        (abs_a >= EPSILON)
+        & (us >= 0.0)
+        & (us <= abs_a)
+        & (vs >= 0.0)
+        & (us + vs <= abs_a)
+        & (ts > EPSILON * abs_a)
+    )
+    t = jnp.where(valid, ta * f, INF)  # (S, TR)
+    tmin = jnp.min(t, axis=0, keepdims=True)
+    take = tmin < t_ref[:]
+    any_take = jnp.sum(take.astype(jnp.int32)) > 0
+
+    @pl.when(any_take)
+    def _winner():
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + s0
+        sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
+        imin = jnp.min(sel_rows, axis=0, keepdims=True)
+        sel = sel_rows == imin
+        u_w = jnp.sum(jnp.where(sel, ua * f, 0.0), axis=0, keepdims=True)
+        v_w = jnp.sum(jnp.where(sel, va * f, 0.0), axis=0, keepdims=True)
+        t_ref[:] = jnp.where(take, tmin, t_ref[:])
+        idx_ref[:] = jnp.where(take, imin, idx_ref[:])
+        u_ref[:] = jnp.where(take, u_w, u_ref[:])
+        v_ref[:] = jnp.where(take, v_w, v_ref[:])
+
+
 def _kernel(phi_ref, cols_ref, boxes_ref, sub_boxes_ref,
             t_ref, idx_ref, u_ref, v_ref, cull_ref, *, n_tris, chunk, sub):
     """One ray tile vs all triangles with two-level culling.
@@ -109,49 +160,7 @@ def _kernel(phi_ref, cols_ref, boxes_ref, sub_boxes_ref,
     def sub_body(s, c0):
         s0 = c0 + s * sub
         rows = [cols_ref[pl.ds(q * n_tris + s0, sub), :] for q in range(4)]
-
-        def dets(q):
-            out = None
-            for k in _FEATS[q]:
-                term = rows[q][:, k : k + 1] * phi[k : k + 1, :]
-                out = term if out is None else out + term
-            return out  # (S, TR)
-
-        a, ua, va, ta = dets(0), dets(1), dets(2), dets(3)
-        abs_a = jnp.abs(a)
-        sa = jnp.sign(a)
-        us = ua * sa
-        vs = va * sa
-        ts = ta * sa
-        f = jnp.float32(1.0) / jnp.where(abs_a >= EPSILON, a, jnp.float32(1.0))
-        # Validity in multiplied-through form (ts > EPSILON*|a|), exactly as
-        # ops/mt_matmul._epilogue: the divided form (ta*f > EPSILON) differs
-        # under rounding for borderline-t lanes and broke bit-parity.
-        valid = (
-            (abs_a >= EPSILON)
-            & (us >= 0.0)
-            & (us <= abs_a)
-            & (vs >= 0.0)
-            & (us + vs <= abs_a)
-            & (ts > EPSILON * abs_a)
-        )
-        t = jnp.where(valid, ta * f, INF)  # (S, TR)
-        tmin = jnp.min(t, axis=0, keepdims=True)
-        take = tmin < t_ref[:]
-        any_take = jnp.sum(take.astype(jnp.int32)) > 0
-
-        @pl.when(any_take)
-        def _winner():
-            rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + s0
-            sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
-            imin = jnp.min(sel_rows, axis=0, keepdims=True)
-            sel = sel_rows == imin
-            u_w = jnp.sum(jnp.where(sel, ua * f, 0.0), axis=0, keepdims=True)
-            v_w = jnp.sum(jnp.where(sel, va * f, 0.0), axis=0, keepdims=True)
-            t_ref[:] = jnp.where(take, tmin, t_ref[:])
-            idx_ref[:] = jnp.where(take, imin, idx_ref[:])
-            u_ref[:] = jnp.where(take, u_w, u_ref[:])
-            v_ref[:] = jnp.where(take, v_w, v_ref[:])
+        _mt_sub_block(phi, rows, s0, t_ref, idx_ref, u_ref, v_ref)
 
     def chunk_body(c, carry):
         c0 = c * chunk
@@ -268,6 +277,208 @@ def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
         ],
         interpret=interpret,
     )(phi_t, cols_rows, boxes, sub_boxes)
+
+    t = t[0, :R]
+    idx = idx[0, :R]
+    return Hit(idx >= 0, t, idx, u[0, :R], v[0, :R])
+
+
+# ---------------------------------------------------------------------------
+# HBM-streamed variant for scenes past the whole-scene VMEM wall.
+# ---------------------------------------------------------------------------
+
+CHUNKS_PER_SUPER = 16  # super-treelet = 2048 triangles
+
+# HBM coefficient-table size (64 KB per 128-triangle chunk) + box-table
+# VMEM budget cap the streamed kernel.
+MT_STREAM2_MAX_TRIS = 262144
+
+
+def _kernel_stream2(phi_ref, cols_hbm, super_boxes_ref, chunk_boxes_ref,
+                    sub_boxes_ref, t_ref, idx_ref, u_ref, v_ref,
+                    sup_cull_ref, buf_ref, sem_ref,
+                    *, chunk, sub, cps, n_supers):
+    """Streamed two-level-culled MT: the coefficient table stays in HBM
+    ((n_chunks, 4*chunk, 10) blocks); per ray tile a super-treelet slab
+    table (cull granularity: 2048 triangles) gates chunk-level slabs, and
+    only chunks some ray can still hit are DMA'd into VMEM and intersected.
+    The round-2 streamed kernel DMA'd every chunk unconditionally and lost
+    to the gather traversal at 32K+ (docs/DESIGN_NOTES.md); conditional DMA
+    plus sorted-ray tiles turn the stream cost from O(N) into
+    O(live chunks)."""
+    phi = phi_ref[:]
+    tr = phi.shape[1]
+
+    ro = phi[1:4, :]
+    rd = phi[4:7, :]
+    par = jnp.abs(rd) < EPSILON
+    inv = jnp.float32(1.0) / jnp.where(par, jnp.float32(1.0), rd)
+
+    kzf = phi[0:1, :] * jnp.float32(0.0)
+    t_ref[:] = jnp.full((1, tr), INF, jnp.float32) + kzf
+    idx_ref[:] = jnp.full((1, tr), -1, jnp.int32) + kzf.astype(jnp.int32)
+    u_ref[:] = kzf
+    v_ref[:] = kzf
+
+    subs_per_chunk = chunk // sub
+
+    def process_chunk(c):
+        """DMA chunk c's coefficient block, then intersect its sub-blocks.
+
+        Block layout is (chunk, 128): triangle rows on sublanes, the four
+        quantities' 10 features packed along the first 40 lanes — HBM
+        memref slices must be 128-aligned in the lane dim (Mosaic), so the
+        block is DMA'd whole and sliced as a value."""
+        dma = pltpu.make_async_copy(cols_hbm.at[c], buf_ref.at[0],
+                                    sem_ref.at[0])
+        dma.start()
+        sub_boxes = sub_boxes_ref[pl.ds(c * subs_per_chunk, subs_per_chunk), :]
+        sub_entry = _slab_entries(sub_boxes, ro, rd, par, inv)
+        dma.wait()
+        blk = buf_ref[0]  # (chunk, 128)
+        c0 = c * chunk
+        for s in range(subs_per_chunk):
+            live_s = (
+                jnp.sum((sub_entry[s : s + 1, :] < t_ref[:]).astype(jnp.int32))
+                > 0
+            )
+
+            def do_sub(s=s):
+                rows = [blk[s * sub : (s + 1) * sub, q * 10 : (q + 1) * 10]
+                        for q in range(4)]
+                _mt_sub_block(phi, rows, c0 + s * sub,
+                              t_ref, idx_ref, u_ref, v_ref)
+
+            jax.lax.cond(live_s, do_sub, lambda: None)
+
+    def super_body(si, carry):
+        entry = sup_cull_ref[pl.ds(si, 1), :]
+        any_live = jnp.sum((entry < t_ref[:]).astype(jnp.int32)) > 0
+
+        @pl.when(any_live)
+        def _do():
+            cboxes = chunk_boxes_ref[pl.ds(si * cps, cps), :]
+            centry = _slab_entries(cboxes, ro, rd, par, inv)
+            for j in range(cps):
+                live_c = (
+                    jnp.sum((centry[j : j + 1, :] < t_ref[:]).astype(jnp.int32))
+                    > 0
+                )
+                jax.lax.cond(
+                    live_c, lambda j=j: process_chunk(si * cps + j),
+                    lambda: None,
+                )
+        return carry
+
+    alive = jnp.sum(jnp.abs(rd)) > 0.0
+
+    @pl.when(alive)
+    def _run():
+        sup_cull_ref[:] = _slab_entries(super_boxes_ref[:], ro, rd, par, inv)
+        jax.lax.fori_loop(0, n_supers, super_body, 0)
+
+
+def _dead_pad_boxes(boxes, n_real, granule):
+    """Force fully-padding treelet boxes to an impossible box so the slab
+    test always misses them (treelet_boxes pads toward the origin, which a
+    ray through the origin region would 'hit')."""
+    m = boxes.shape[0]
+    first_dead = -(-n_real // granule)
+    if first_dead >= m:
+        return boxes
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    dead = row >= first_dead
+    impossible = jnp.concatenate(
+        [jnp.full((1, 3), INF), jnp.full((1, 3), -INF), jnp.zeros((1, 2))],
+        axis=1,
+    )
+    return jnp.where(dead, impossible, boxes)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mt_intersect_stream2(tri_pos, ro, rd, *, interpret: bool = False):
+    """Streamed two-level-culled MT intersection for scenes past the
+    whole-scene VMEM wall; returns `intersect.Hit`.  Same decisions as
+    `mt_intersect_pallas2` (shared sub-block epilogue)."""
+    R = ro.shape[0]
+    N = tri_pos.shape[0]
+    if N == 0:
+        z = jnp.zeros((R,), jnp.float32)
+        return Hit(jnp.zeros((R,), bool), jnp.full((R,), INF),
+                   jnp.full((R,), -1, jnp.int32), z, z)
+    if N > MT_STREAM2_MAX_TRIS:
+        raise ValueError(
+            f"mt_stream supports <= {MT_STREAM2_MAX_TRIS} triangles "
+            f"(got {N}); use 'bvh8'"
+        )
+
+    chunk = CHUNK_TRIS
+    sub = SUB_TRIS
+    cps = CHUNKS_PER_SUPER
+    sup = chunk * cps
+    n_pad = int(np.ceil(N / sup)) * sup
+    n_chunks = n_pad // chunk
+    n_supers = n_pad // sup
+    r_pad = int(np.ceil(R / TILE_RAYS)) * TILE_RAYS
+
+    tri_padded = _pad_to(tri_pos, n_pad, 0)
+    cols = triangle_columns(tri_padded)  # (10, 4, Np)
+    # chunk-major HBM blocks (n_chunks, chunk, 128): triangle rows on
+    # sublanes, [a|ua|va|ta] x 10 features packed along the first 40 lanes
+    # (Mosaic requires 128-aligned lane slices for the per-chunk DMA).
+    cols_chunks = _pad_to(
+        jnp.transpose(cols.reshape(10, 4, n_chunks, chunk), (2, 3, 1, 0))
+        .reshape(n_chunks, chunk, 40),
+        128, 2,
+    )
+    super_boxes = _dead_pad_boxes(treelet_boxes(tri_padded, sup), N, sup)
+    chunk_boxes = _dead_pad_boxes(treelet_boxes(tri_padded, chunk), N, chunk)
+    sub_boxes = _dead_pad_boxes(treelet_boxes(tri_padded, sub), N, sub)
+    phi = ray_features(ro, rd)
+    phi_t = _pad_to(phi.T, r_pad, 1, value=1e30)
+
+    grid = (r_pad // TILE_RAYS,)
+    kernel = functools.partial(_kernel_stream2, chunk=chunk, sub=sub,
+                               cps=cps, n_supers=n_supers)
+    vma = getattr(jax.typeof(ro), "vma", None) if hasattr(jax, "typeof") else None
+    if vma:
+        axes = tuple(vma)
+        cols_chunks = jax.lax.pcast(cols_chunks, axes, to="varying")
+        super_boxes = jax.lax.pcast(super_boxes, axes, to="varying")
+        chunk_boxes = jax.lax.pcast(chunk_boxes, axes, to="varying")
+        sub_boxes = jax.lax.pcast(sub_boxes, axes, to="varying")
+    sds = (functools.partial(jax.ShapeDtypeStruct, vma=vma)
+           if vma else jax.ShapeDtypeStruct)
+    row_spec = pl.BlockSpec((1, TILE_RAYS), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    t, idx, u, v = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((10, TILE_RAYS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # coefficient blocks: HBM
+            pl.BlockSpec((n_supers, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad // sub, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_spec] * 4,
+        out_shape=[
+            sds((1, r_pad), jnp.float32),
+            sds((1, r_pad), jnp.int32),
+            sds((1, r_pad), jnp.float32),
+            sds((1, r_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_supers, TILE_RAYS), jnp.float32),
+            pltpu.VMEM((1, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(phi_t, cols_chunks, super_boxes, chunk_boxes, sub_boxes)
 
     t = t[0, :R]
     idx = idx[0, :R]

@@ -32,29 +32,37 @@ from .intersect import bvh_intersect, bvh_intersect_diff
 from .mt_matmul import mt_intersect
 from .vecmath import mix, normalize, reflect
 
-# Scenes at or below this padded triangle count default to the MXU
-# Möller–Trumbore intersector (ops/mt_matmul.py): on TPU the all-pairs
-# formulation beats the gather-bound traversal by orders of magnitude
-# (docs/DESIGN_NOTES.md).  The cap is set by the fused kernel's VMEM
-# budget: the whole coefficient table + chunk intermediates must fit the
-# 16 MB scoped limit (measured: 16K tris -> 17.2 MB, OOM; 8K fits).  The
-# rule is platform-independent so CPU tests exercise the TPU path.
+# Scenes at or below this padded triangle count default to the whole-scene
+# VMEM Möller–Trumbore kernel (ops/pallas/mt_shade.py): on TPU the
+# all-pairs formulation beats the gather-bound traversal by orders of
+# magnitude (docs/DESIGN_NOTES.md).  The cap is the kernel's VMEM budget
+# (16K-tri coefficient tables fail the Mosaic compile).
 MT_AUTO_MAX_TRIS = 8192
+# Above the VMEM wall, the HBM-streamed two-level-culled kernel
+# (conditional per-chunk DMA) carries the scene: measured round 3 on the
+# fused sorted trace, 16K tris 45.7 ms / 32K 57.2 ms / 131K x 6 bounces
+# 115.4 ms per 512^2 frame — 19-26x over the round-2 bvh8 traversal, no
+# >3x cliff at any doubling.  The cap is the HBM coefficient-table size
+# (64 KB per 128-tri chunk).
+MT_STREAM_AUTO_MAX_TRIS = 262144
 
 
 def resolve_intersector(intersector: str, n_tris: int) -> str:
     """Resolve the 'auto' intersector choice to a concrete backend.
 
-    'auto' picks the fused Pallas MT kernel on TPU (whole-scene in VMEM,
-    up to its 8K-triangle VMEM wall), the XLA MT matmul on other backends
-    (same math, so CPU tests cover the TPU path), and the fat-leaf gather
-    traversal ('bvh8') beyond; 'bvh' is the reference-contract
-    1-triangle-leaf skip-link walk.  'mt_stream' (HBM-streamed chunks) is
-    selectable but measured 4.5x slower than bvh8 at 32K triangles
-    (docs/DESIGN_NOTES.md), so auto never picks it."""
+    'auto' on TPU picks the fused whole-scene Pallas MT kernel up to its
+    8K-triangle VMEM wall, then the HBM-streamed variant ('mt_stream') to
+    256K triangles, then the fat-leaf gather traversal ('bvh8').  On other
+    backends: the XLA MT matmul (same math, so CPU tests cover the TPU
+    path) up to the same wall, then 'bvh8' (the XLA brute force is
+    quadratic in scene size).  'bvh' is the reference-contract
+    1-triangle-leaf skip-link walk."""
     if intersector == "auto":
+        on_tpu = jax.default_backend() == "tpu"
         if n_tris <= MT_AUTO_MAX_TRIS:
-            return "mt_pallas" if jax.default_backend() == "tpu" else "mt"
+            return "mt_pallas" if on_tpu else "mt"
+        if on_tpu and n_tris <= MT_STREAM_AUTO_MAX_TRIS:
+            return "mt_stream"
         return "bvh8"
     if intersector not in ("mt", "mt_pallas", "mt_stream", "bvh", "bvh8"):
         raise ValueError(f"unknown intersector {intersector!r}")
@@ -130,13 +138,19 @@ def trace_rays(scene, params, ro, rd, seed, *, max_bounces: int,
         # trips the checker on literal operands — CPU (interpret) falls
         # back to the XLA MT formulation (same math, parity-tested).
         kind = "mt"
-    if kind in ("mt", "mt_pallas"):
+    if kind in ("mt", "mt_pallas", "mt_stream"):
         tri_pos = scene.packed.tri_pos
+        interp = jax.default_backend() != "tpu"
         if kind == "mt_pallas":
             from .pallas.mt_shade import mt_intersect_pallas2
 
-            interp = jax.default_backend() != "tpu"
             base_fn = partial(mt_intersect_pallas2, interpret=interp)
+        elif kind == "mt_stream":
+            # (round-2 routed explicit 'mt_stream' to the skip-link
+            # traversal by accident; it now gets the streamed kernel)
+            from .pallas.mt_shade import mt_intersect_stream2
+
+            base_fn = partial(mt_intersect_stream2, interpret=interp)
         else:
             base_fn = mt_intersect
         if differentiable:
@@ -594,7 +608,8 @@ def render_frame(
     # TPU — jax 0.9 strips vma for the Mosaic kernel trace (verified
     # on-chip, sharded == unsharded bit-exact); only the CPU interpreter
     # lowering trips the checker, so it falls back to the XLA loop there.
-    fused = (kind == "mt_pallas" and not differentiable and not env_importance
+    fused = (kind in ("mt_pallas", "mt_stream")
+             and not differentiable and not env_importance
              and (jax.default_backend() == "tpu"
                   or not _any_vma(row_offset, seed_salt, params.frame)))
     if fused:
@@ -638,13 +653,13 @@ def render_frame(
     zf0 = (seed ^ seed).astype(jnp.float32)[:, None]
 
     if fused:
-        from .pallas.mt_shade import mt_intersect_pallas2
+        from .pallas.mt_shade import mt_intersect_pallas2, mt_intersect_stream2
 
         tri_pos = scene.packed.tri_pos
         interp = jax.default_backend() != "tpu"
-        intersector_fn = lambda o, d: mt_intersect_pallas2(
-            tri_pos, o, d, interpret=interp
-        )
+        base = (mt_intersect_stream2 if kind == "mt_stream"
+                else mt_intersect_pallas2)
+        intersector_fn = lambda o, d: base(tri_pos, o, d, interpret=interp)
         shade_mat = pack_shade_material_rows(scene)
         env_patches = envsample.pack_env_patches(scene.env.radiance)
 
