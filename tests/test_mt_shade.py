@@ -116,9 +116,19 @@ def test_blocked_grid_roundtrip():
 
 
 def test_fused_trace_matches_plain_loop():
-    """The sorted fused path (per-bounce lax.sort binning, deferred env,
-    blocked layout, final order-restoring sort) is BIT-IDENTICAL to the
-    plain trace loop running the same Pallas kernel."""
+    """The sorted fused path (component-major state, per-bounce lax.sort
+    binning, deferred env, blocked layout, final order-restoring sort)
+    matches the plain trace loop running the same Pallas kernel to within
+    FMA-fusion ULPs.
+
+    Exact bit-equality across the two layouts is unattainable by
+    construction: XLA contracts multiply-into-reduce chains (the dot in
+    `reflect`, the norm in `normalize`) with FMAs differently for minor-
+    vs major-axis reductions (measured: 1-ULP flips on 23-44% of lanes for
+    an isolated dot).  The integer RNG streams ARE bit-exact
+    (test_fused_trace_seed_stream_exact below); colors carry the ULP
+    noise, so any tolerance violation here is a real semantic bug, not
+    rounding."""
     import tpu_pathtracer as pt
     import tpu_pathtracer.ops.trace as tr
     from tpu_pathtracer.ops.trace import render_frame
@@ -143,13 +153,50 @@ def test_fused_trace_matches_plain_loop():
         )
     finally:
         tr._any_vma = orig
-    np.testing.assert_array_equal(img_fused, img_plain)
+    np.testing.assert_allclose(img_fused, img_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_trace_seed_stream_exact():
+    """The fused path's integer RNG streams are BIT-exact vs the plain
+    loop, and returned in input ray order (a seed slip would silently
+    decorrelate progressive samples — unlike the float ULP noise, any
+    integer mismatch is a real bug)."""
+    import jax.numpy as jnp
+    import tpu_pathtracer as pt
+    import tpu_pathtracer.ops.trace as tr
+    from tpu_pathtracer.ops.pallas.mt_shade import mt_intersect_pallas2_phi
+    from tpu_pathtracer.scene.envmap import gradient_sky
+    from tpu_pathtracer.scene.types import Camera, RenderParams
+
+    scene = pt.default_scene(gradient_sky(8, 16)).compile()
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    params = RenderParams.create(cam, frame=2)
+    rng = np.random.default_rng(3)
+    R = 512
+    ro = jnp.asarray(rng.uniform(-2, 2, (R, 3)), jnp.float32)
+    rd = rng.normal(size=(R, 3))
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=1, keepdims=True),
+                     jnp.float32)
+    seed = jnp.asarray(rng.integers(0, 2**31, R), jnp.uint32)
+    fn = lambda phi: mt_intersect_pallas2_phi(
+        scene.packed.tri_pos, phi, interpret=True
+    )
+    inc_f, seed_f = tr.trace_rays_fused(
+        scene, params, ro, rd, seed, max_bounces=3, intersector_phi_fn=fn
+    )
+    inc_p, seed_p = tr.trace_rays(
+        scene, params, ro, rd, seed, max_bounces=3, intersector="mt_pallas"
+    )
+    np.testing.assert_array_equal(np.asarray(seed_f), np.asarray(seed_p))
+    np.testing.assert_allclose(np.asarray(inc_f), np.asarray(inc_p),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_fused_trace_spp_seed_carry():
     """Multi-sample frames: the fused path must return seeds in input ray
     order so sample s+1 continues each pixel's RNG stream — checked by
-    bit-comparing a 2-spp frame against the plain loop."""
+    comparing a 2-spp frame against the plain loop (ULP tolerance, see
+    test_fused_trace_matches_plain_loop)."""
     import tpu_pathtracer as pt
     import tpu_pathtracer.ops.trace as tr
     from tpu_pathtracer.ops.trace import render_frame
@@ -173,4 +220,4 @@ def test_fused_trace_spp_seed_carry():
         )
     finally:
         tr._any_vma = orig
-    np.testing.assert_array_equal(img_fused, img_plain)
+    np.testing.assert_allclose(img_fused, img_plain, rtol=1e-5, atol=1e-6)

@@ -196,7 +196,6 @@ def _kernel(phi_ref, cols_ref, boxes_ref, sub_boxes_ref,
 MT_SHADE_MAX_TRIS = 8192
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
     """Two-level-culled fused all-pairs MT intersection; returns
     `intersect.Hit`.
@@ -207,7 +206,17 @@ def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
     division rounding, same as the round-2 kernel).  `interpret=True` runs
     the kernel in the Pallas interpreter for CPU tests.
     """
-    R = ro.shape[0]
+    return mt_intersect_pallas2_phi(
+        tri_pos, ray_features(ro, rd).T, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False):
+    """`mt_intersect_pallas2` taking the transposed ray-feature matrix
+    phi_t (10, R) directly — the fused trace loop keeps ray state
+    component-major, so it builds phi without any transpose."""
+    R = phi_t.shape[1]
     N = tri_pos.shape[0]
     if N == 0:
         z = jnp.zeros((R,), jnp.float32)
@@ -233,12 +242,12 @@ def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
     cols_rows = jnp.transpose(cols, (1, 2, 0)).reshape(4 * n_pad, 10)
     boxes = treelet_boxes(tri_padded, chunk)  # (Mc, 8)
     sub_boxes = treelet_boxes(tri_padded, sub)  # (Ms, 8)
-    phi = ray_features(ro, rd)
-    phi_t = _pad_to(phi.T, r_pad, 1, value=1e30)  # parked padding lanes
+    phi_t = _pad_to(phi_t, r_pad, 1, value=1e30)  # parked padding lanes
 
     grid = (r_pad // TILE_RAYS,)
     kernel = functools.partial(_kernel, n_tris=n_pad, chunk=chunk, sub=sub)
-    vma = getattr(jax.typeof(ro), "vma", None) if hasattr(jax, "typeof") else None
+    vma = (getattr(jax.typeof(phi_t), "vma", None)
+           if hasattr(jax, "typeof") else None)
     if vma:
         # Under shard_map with check_vma: scene operands are axis-invariant
         # while rays vary, and the traced kernel body's binary ops require
@@ -395,12 +404,20 @@ def _dead_pad_boxes(boxes, n_real, granule):
     return jnp.where(dead, impossible, boxes)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def mt_intersect_stream2(tri_pos, ro, rd, *, interpret: bool = False):
     """Streamed two-level-culled MT intersection for scenes past the
     whole-scene VMEM wall; returns `intersect.Hit`.  Same decisions as
     `mt_intersect_pallas2` (shared sub-block epilogue)."""
-    R = ro.shape[0]
+    return mt_intersect_stream2_phi(
+        tri_pos, ray_features(ro, rd).T, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mt_intersect_stream2_phi(tri_pos, phi_t, *, interpret: bool = False):
+    """`mt_intersect_stream2` taking the transposed ray-feature matrix
+    phi_t (10, R) directly (see mt_intersect_pallas2_phi)."""
+    R = phi_t.shape[1]
     N = tri_pos.shape[0]
     if N == 0:
         z = jnp.zeros((R,), jnp.float32)
@@ -434,13 +451,13 @@ def mt_intersect_stream2(tri_pos, ro, rd, *, interpret: bool = False):
     super_boxes = _dead_pad_boxes(treelet_boxes(tri_padded, sup), N, sup)
     chunk_boxes = _dead_pad_boxes(treelet_boxes(tri_padded, chunk), N, chunk)
     sub_boxes = _dead_pad_boxes(treelet_boxes(tri_padded, sub), N, sub)
-    phi = ray_features(ro, rd)
-    phi_t = _pad_to(phi.T, r_pad, 1, value=1e30)
+    phi_t = _pad_to(phi_t, r_pad, 1, value=1e30)
 
     grid = (r_pad // TILE_RAYS,)
     kernel = functools.partial(_kernel_stream2, chunk=chunk, sub=sub,
                                cps=cps, n_supers=n_supers)
-    vma = getattr(jax.typeof(ro), "vma", None) if hasattr(jax, "typeof") else None
+    vma = (getattr(jax.typeof(phi_t), "vma", None)
+           if hasattr(jax, "typeof") else None)
     if vma:
         axes = tuple(vma)
         cols_chunks = jax.lax.pcast(cols_chunks, axes, to="varying")

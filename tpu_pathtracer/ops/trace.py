@@ -364,58 +364,219 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
 
 
 def _sort_ray_state(key, ro, rd, color, incoming, seed, pixact):
-    """Stable-sort the per-ray bounce state by `key` (i32) using two
-    <=8-operand `lax.sort` calls (measured: key+8 payload columns sort in
-    ~0.17 ms at 512^2 on v5e, while a 12-payload sort falls off a cliff to
-    1.6 ms and an argsort+wide-gather permute costs 1.5-7 ms).  Both calls
-    share the identical key and stable sort, so they apply the same
-    permutation."""
+    """Stable-sort the component-major per-ray bounce state by `key` (i32).
+
+    ro/rd/color/incoming are (3, R); each component row is a contiguous
+    (R,) sort operand, and re-assembling the sorted rows is a plain axis-0
+    stack (concatenation), not the row-major layout's interleave.  The
+    payload movement through the sort network dominates the cost
+    (~1.3 ms at 512² however the 14 payload columns are grouped —
+    examples/micro_sort.py; barrier-split sorts and gather-permutes all
+    measure worse), so the fused loop limits how many bounces sort at all
+    (`_sort_bounces`)."""
     seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
     _, ro0, ro1, ro2, rd0, rd1, rd2, seed_i = jax.lax.sort(
-        (key, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
-         seed_i),
+        (key, ro[0], ro[1], ro[2], rd[0], rd[1], rd[2], seed_i),
         dimension=0, num_keys=1,
     )
     _, c0, c1, c2, i0, i1, i2, pixact = jax.lax.sort(
-        (key, color[:, 0], color[:, 1], color[:, 2], incoming[:, 0],
-         incoming[:, 1], incoming[:, 2], pixact),
+        (key, color[0], color[1], color[2], incoming[0], incoming[1],
+         incoming[2], pixact),
         dimension=0, num_keys=1,
     )
     return (
-        jnp.stack([ro0, ro1, ro2], axis=1),
-        jnp.stack([rd0, rd1, rd2], axis=1),
-        jnp.stack([c0, c1, c2], axis=1),
-        jnp.stack([i0, i1, i2], axis=1),
+        jnp.stack([ro0, ro1, ro2], axis=0),
+        jnp.stack([rd0, rd1, rd2], axis=0),
+        jnp.stack([c0, c1, c2], axis=0),
+        jnp.stack([i0, i1, i2], axis=0),
         jax.lax.bitcast_convert_type(seed_i, jnp.uint32),
         pixact,
     )
 
 
+# --- component-major (transposed) helpers for the fused loop -------------
+#
+# The fused TPU path keeps all per-ray vector state as (3, R) / (C, R)
+# arrays: R runs along lanes, so every elementwise op uses the full VPU
+# width, and gathers write (C, R) outputs directly (no layout fixups).
+# Measured on the headline frame: the row-major loop spent ~2.2 ms/frame in
+# pure layout-fixup fusions (slice_reduce_fusion + copies) that this layout
+# deletes.  Each helper mirrors its row-major twin's float associativity
+# exactly (the fused path is bit-compared against the plain loop in
+# tests/test_mt_shade.py).
+
+
+def _normalize_t(v):
+    """normalize over axis 0 of (3, R); matches vecmath.normalize
+    (jnp.sum keeps the reduce lowering identical to the row-major loop's —
+    explicit `v0*v0 + v1*v1 + v2*v2` chains rounded differently)."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    return v / n
+
+
+def _reflect_t(d, n):
+    dn = jnp.sum(d * n, axis=0)
+    return d - 2.0 * dn[None, :] * n
+
+
+def _rand_direction_t(seed):
+    """rng.rand_direction with a (3, R) result."""
+    seed, x = rng.rand_normal(seed)
+    seed, y = rng.rand_normal(seed)
+    seed, z = rng.rand_normal(seed)
+    v = jnp.stack([x, y, z], axis=0)
+    return seed, _normalize_t(v)
+
+
+def _rand_cosine_hemisphere_t(seed, normal):
+    seed, d = _rand_direction_t(seed)
+    return seed, _normalize_t(normal + d)
+
+
+def _ray_features_t(ro, rd):
+    """phi(ray) component-major: (3, R),(3, R) -> (10, R); matches
+    mt_matmul.ray_features values."""
+    ones = jnp.ones((1, ro.shape[1]), ro.dtype)
+    cx = ro[1] * rd[2] - ro[2] * rd[1]
+    cy = ro[2] * rd[0] - ro[0] * rd[2]
+    cz = ro[0] * rd[1] - ro[1] * rd[0]
+    return jnp.concatenate(
+        [ones, ro, rd, jnp.stack([cx, cy, cz], axis=0)], axis=0
+    )
+
+
+def _gather_rows_t(table, idx):
+    """Row gather with transposed output: table (N, C), idx (R,) -> (C, R).
+
+    The transposed-offset gather measured ~1.8x cheaper than the row-major
+    row gather + column slices at 512² (examples/micro_shade.py): the
+    output feeds component-major consumers with no layout fixup."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    return jax.lax.gather(table, idx[:, None], dn,
+                          slice_sizes=(1, table.shape[1]))
+
+
+def _env_uv_from_ray_t(rd, rotation):
+    """envsample.env_uv_from_ray on (3, R) directions -> (2, R)."""
+    cos_r = jnp.cos(rotation)
+    sin_r = jnp.sin(rotation)
+    dx = rd[0] * cos_r - rd[2] * sin_r
+    dz = rd[0] * sin_r + rd[2] * cos_r
+    phi = jnp.arctan2(dx, dz)
+    theta = jnp.arcsin(jnp.clip(rd[1], -1.0, 1.0))
+    return jnp.stack(
+        [phi * envsample.INVTWOPI + 0.5, -theta * envsample.INVPI + 0.5],
+        axis=0,
+    )
+
+
+def _env_radiance_packed_t(patches, shape, uv):
+    """envsample.env_radiance_packed on (2, R) uv -> (3, R)."""
+    h, w = shape
+    x = uv[0] * w - 0.5
+    y = uv[1] * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = jnp.where(x0f < 0, 0.0, x - x0f)[None, :]
+    fy = jnp.where(y0f < 0, 0.0, y - y0f)[None, :]
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    row = _gather_rows_t(patches, y0 * w + x0)  # (12, R)
+    top = row[0:3] + (row[3:6] - row[0:3]) * fx
+    bot = row[6:9] + (row[9:12] - row[6:9]) * fx
+    return top + (bot - top) * fy
+
+
+def bounce_shade_t(scene, params, hit, carry, *, shade_mat):
+    """bounce_shade in component-major layout with the env lookup deferred
+    (the fused path's miss term is added once after the loop).  Same float
+    associativity as bounce_shade — bit-compared in tests/test_mt_shade.py."""
+    ro, rd, incoming, color, seed, active = carry
+    hit_mask = active & hit.hit
+
+    tri_safe = jnp.clip(hit.tri, 0, scene.triangles.p0.shape[0] - 1)
+    shade = _gather_rows_t(shade_mat, tri_safe)  # (21, R)
+    roughness = shade[18]
+    metalness = shade[19]
+    w = 1.0 - hit.u - hit.v
+    normal = _normalize_t(
+        shade[0:3] * w[None, :]
+        + shade[3:6] * hit.u[None, :]
+        + shade[6:9] * hit.v[None, :]
+    )
+    position = ro + hit.t[None, :] * rd
+
+    # RNG: hit rays consume 7 uniforms; missed/inactive must not advance.
+    seed_h, diffuse_dir = _rand_cosine_hemisphere_t(seed, normal)
+    seed_h, r_spec = rng.rand(seed_h)
+    is_specular = (metalness >= r_spec).astype(jnp.float32)
+    specular_dir = _reflect_t(rd, normal)
+    blend = (is_specular * (1.0 - roughness))[None, :]
+    new_dir = mix(diffuse_dir, specular_dir, blend)  # deliberately unnormalized
+
+    emitted = shade[15:18] * shade[20][None, :]
+    hm = hit_mask[None, :]
+    incoming = incoming + jnp.where(hm, emitted * color, 0.0)
+    color = jnp.where(
+        hm, color * mix(shade[9:12], shade[12:15], is_specular[None, :]),
+        color,
+    )
+    ro = jnp.where(hm, position, ro)
+    rd = jnp.where(hm, new_dir, rd)
+    seed = jnp.where(hit_mask, seed_h, seed)
+    return ro, rd, incoming, color, seed, hit_mask
+
+
 _PIX_ACTIVE_BIT = np.int32(1 << 30)
 
 
+def _sort_bounces() -> np.int32:
+    """How many leading bounces re-bin the ray state (experiment knob).
+
+    Each per-bounce binning sort costs ~1.3 ms at 512² (the payload
+    movement through the sort network dominates; operand grouping doesn't
+    change it — examples/micro_sort.py), while its intersect win decays
+    with bounce depth.  Sorting is order-restored at the end, so ANY value
+    is bit-identical; the default is tuned on the headline shape."""
+    import os
+
+    return np.int32(int(os.environ.get("TPT_SORT_BOUNCES", "99")))
+
+
 def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
-                     intersector_fn, shade_mat=None, env_patches=None):
+                     intersector_phi_fn, shade_mat=None, env_patches=None):
     """Sorted fused trace loop: the round-3 TPU fast path.
 
-    Same per-ray math and RNG streams as `trace_rays` (bit-identical
-    results), restructured around three measured wins
+    Same per-ray math and RNG streams as `trace_rays` — integer RNG
+    streams bit-exact, colors identical up to FMA-fusion ULPs (XLA
+    contracts dot/norm reduces differently for component-major arrays;
+    tests/test_mt_shade.py) — restructured around four measured wins
     (docs/DESIGN_NOTES.md round 3):
 
-      * **Per-bounce ray binning.** After each bounce the live ray state is
-        stable-sorted by (hit triangle, outgoing-direction octant), so rays
-        sharing a kernel tile share treelet live-sets and terminated rays
-        sink to the tail where whole tiles park (measured: diffuse-bounce
-        intersect 7.0/4.8/3.7 ms -> 3.3/0.5/0.4 ms).  Ray order is
-        tracked in a carried pixel index and restored with one final sort.
+      * **Component-major state.** All vector state lives as (3, R) with R
+        along lanes: elementwise math runs at full VPU width, gathers write
+        transposed outputs directly, phi for the kernel assembles with no
+        transpose, and the per-bounce sort re-assembles by concatenation.
+        (The row-major loop paid ~2.2 ms/frame in layout-fixup fusions.)
+      * **Per-bounce ray binning.** After each of the first
+        `_sort_bounces()` bounces the live ray state is stable-sorted by
+        (hit triangle, outgoing-direction octant), so rays sharing a kernel
+        tile share treelet live-sets and terminated rays sink to the tail
+        where whole tiles park (measured: diffuse-bounce intersect
+        7.0/4.8/3.7 ms -> 3.3/0.5/0.4 ms).  Ray order is tracked in a
+        carried pixel index and restored with one final sort.
       * **Deferred environment lookup.** A miss is always a ray's last
         event, so the env term is added once after the loop instead of
-        per bounce (the env patch gather costs ~0.85 ms/bounce) —
-        bit-identical summation order per ray.
+        per bounce — bit-identical summation order per ray.
       * The per-bounce shade gather indices arrive clustered (rays were
         sorted by the *previous* bounce's triangle), which the TPU gather
         rewards (~2x measured for fully-sorted indices).
 
+    `intersector_phi_fn` maps a (10, R) transposed ray-feature matrix to a
+    Hit (mt_intersect_pallas2_phi / mt_intersect_stream2_phi).
+    Takes and returns row-major (R, 3) / (R,) arrays at the boundary.
     Returns (incoming, seed) in the INPUT ray order.
     """
     R = ro.shape[0]
@@ -425,31 +586,33 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     n_tris = scene.packed.tri_pos.shape[0]
 
     vz = (seed ^ seed).astype(jnp.uint32)
-    zf = vz.astype(jnp.float32)[:, None]
+    zf = vz.astype(jnp.float32)[None, :]
     pix = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0] + vz.astype(
         jnp.int32
     )
+    ro = ro.T  # (3, R)
+    rd = rd.T
 
     def body(state):
         i, (ro, rd, incoming, color, seed, pixact) = state
         active = pixact >= _PIX_ACTIVE_BIT
-        am = active[:, None]
-        hit = intersector_fn(
+        am = active[None, :]
+        hit = intersector_phi_fn(_ray_features_t(
             jnp.where(am, ro, jnp.float32(1e30)),
             jnp.where(am, rd, jnp.float32(0.0)),
-        )
+        ))
         carry = (ro, rd, incoming, color, seed, active)
-        ro, rd, incoming, color, seed, active = bounce_shade(
-            scene, params, hit, carry, shade_mat=shade_mat, defer_env=True
+        ro, rd, incoming, color, seed, active = bounce_shade_t(
+            scene, params, hit, carry, shade_mat=shade_mat
         )
         # Bin for the next bounce: primary = hit triangle (groups rays by
         # surface locality AND clusters the next shade gather's indices),
         # secondary = new-direction octant (tightens treelet unions).
         # Terminated rays sink to the tail (stable, so ties keep order).
         octant = (
-            (rd[:, 0] > 0).astype(jnp.int32) * 4
-            + (rd[:, 1] > 0).astype(jnp.int32) * 2
-            + (rd[:, 2] > 0).astype(jnp.int32)
+            (rd[0] > 0).astype(jnp.int32) * 4
+            + (rd[1] > 0).astype(jnp.int32) * 2
+            + (rd[2] > 0).astype(jnp.int32)
         )
         key = jnp.where(
             active,
@@ -459,8 +622,17 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
         pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
             active, _PIX_ACTIVE_BIT, 0
         )
-        ro, rd, color, incoming, seed, pixact = _sort_ray_state(
-            key, ro, rd, color, incoming, seed, pixact
+
+        def do_sort(args):
+            return _sort_ray_state(*args)
+
+        def no_sort(args):
+            _, ro, rd, color, incoming, seed, pixact = args
+            return ro, rd, color, incoming, seed, pixact
+
+        ro, rd, color, incoming, seed, pixact = jax.lax.cond(
+            i < _sort_bounces(), do_sort, no_sort,
+            (key, ro, rd, color, incoming, seed, pixact),
         )
         return i + 1, (ro, rd, incoming, color, seed, pixact)
 
@@ -471,8 +643,8 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     init = (
         ro,
         rd,
-        jnp.zeros((R, 3), jnp.float32) + zf,
-        jnp.ones((R, 3), jnp.float32) + zf,
+        jnp.zeros((3, R), jnp.float32) + zf,
+        jnp.ones((3, R), jnp.float32) + zf,
         seed,
         pix | _PIX_ACTIVE_BIT,
     )
@@ -486,19 +658,19 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     # (raytrace.wgsl:378-408).  rd/color still hold their miss-time values
     # (updates are hit-gated).
     missed = pixact < _PIX_ACTIVE_BIT
-    env_uv = envsample.env_uv_from_ray(rd, params.env_rotation)
-    env = envsample.env_radiance_packed(
+    env_uv = _env_uv_from_ray_t(rd, params.env_rotation)
+    env = _env_radiance_packed_t(
         env_patches, (scene.env.height, scene.env.width), env_uv
     )
     incoming = incoming + jnp.where(
-        missed[:, None], env * params.env_intensity * color, 0.0
+        missed[None, :], env * params.env_intensity * color, 0.0
     )
 
     # Restore the caller's ray order (one 5-operand sort by pixel index).
     pixkey = pixact & (_PIX_ACTIVE_BIT - 1)
     seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
     _, i0, i1, i2, seed_i = jax.lax.sort(
-        (pixkey, incoming[:, 0], incoming[:, 1], incoming[:, 2], seed_i),
+        (pixkey, incoming[0], incoming[1], incoming[2], seed_i),
         dimension=0, num_keys=1,
     )
     return (
@@ -653,13 +825,17 @@ def render_frame(
     zf0 = (seed ^ seed).astype(jnp.float32)[:, None]
 
     if fused:
-        from .pallas.mt_shade import mt_intersect_pallas2, mt_intersect_stream2
+        from .pallas.mt_shade import (
+            mt_intersect_pallas2_phi,
+            mt_intersect_stream2_phi,
+        )
 
         tri_pos = scene.packed.tri_pos
         interp = jax.default_backend() != "tpu"
-        base = (mt_intersect_stream2 if kind == "mt_stream"
-                else mt_intersect_pallas2)
-        intersector_fn = lambda o, d: base(tri_pos, o, d, interpret=interp)
+        base = (mt_intersect_stream2_phi if kind == "mt_stream"
+                else mt_intersect_pallas2_phi)
+        intersector_phi_fn = lambda phi_t: base(tri_pos, phi_t,
+                                                interpret=interp)
         shade_mat = pack_shade_material_rows(scene)
         env_patches = envsample.pack_env_patches(scene.env.radiance)
 
@@ -679,7 +855,7 @@ def render_frame(
         if fused:
             light, seed = trace_rays_fused(
                 scene, params, o, d, seed, max_bounces=max_bounces,
-                intersector_fn=intersector_fn, shade_mat=shade_mat,
+                intersector_phi_fn=intersector_phi_fn, shade_mat=shade_mat,
                 env_patches=env_patches,
             )
         else:
