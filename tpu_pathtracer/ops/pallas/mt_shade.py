@@ -52,6 +52,13 @@ TILE_RAYS = 1024
 CHUNK_TRIS = 128  # level-1 treelet (one cond per live tile)
 SUB_TRIS = 32  # level-2 treelet (conds only inside live chunks)
 
+
+def _tile_rays() -> int:
+    """Ray-tile width (experiment knob TPT_TILE_RAYS, default TILE_RAYS)."""
+    import os
+
+    return int(os.environ.get("TPT_TILE_RAYS", str(TILE_RAYS)))
+
 _BIG_I32 = np.int32(2**31 - 1)
 
 
@@ -211,11 +218,17 @@ def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False):
     """`mt_intersect_pallas2` taking the transposed ray-feature matrix
     phi_t (10, R) directly — the fused trace loop keeps ray state
     component-major, so it builds phi without any transpose."""
+    return _mt_intersect_pallas2_impl(tri_pos, phi_t, interpret=interpret,
+                                      tile_rays=_tile_rays())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_rays"))
+def _mt_intersect_pallas2_impl(tri_pos, phi_t, *, interpret: bool,
+                               tile_rays: int):
     R = phi_t.shape[1]
     N = tri_pos.shape[0]
     if N == 0:
@@ -235,7 +248,7 @@ def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False):
     chunk = CHUNK_TRIS
     sub = SUB_TRIS
     n_pad = int(np.ceil(N / chunk)) * chunk
-    r_pad = int(np.ceil(R / TILE_RAYS)) * TILE_RAYS
+    r_pad = int(np.ceil(R / tile_rays)) * tile_rays
 
     tri_padded = _pad_to(tri_pos, n_pad, 0)
     cols = triangle_columns(tri_padded)  # (10, 4, Np)
@@ -244,7 +257,7 @@ def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False):
     sub_boxes = treelet_boxes(tri_padded, sub)  # (Ms, 8)
     phi_t = _pad_to(phi_t, r_pad, 1, value=1e30)  # parked padding lanes
 
-    grid = (r_pad // TILE_RAYS,)
+    grid = (r_pad // tile_rays,)
     kernel = functools.partial(_kernel, n_tris=n_pad, chunk=chunk, sub=sub)
     vma = (getattr(jax.typeof(phi_t), "vma", None)
            if hasattr(jax, "typeof") else None)
@@ -259,13 +272,13 @@ def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False):
         sub_boxes = jax.lax.pcast(sub_boxes, axes, to="varying")
     sds = (functools.partial(jax.ShapeDtypeStruct, vma=vma)
            if vma else jax.ShapeDtypeStruct)
-    row_spec = pl.BlockSpec((1, TILE_RAYS), lambda i: (0, i),
+    row_spec = pl.BlockSpec((1, tile_rays), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     t, idx, u, v = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((10, TILE_RAYS), lambda i: (0, i),
+            pl.BlockSpec((10, tile_rays), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * n_pad, 10), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -282,7 +295,7 @@ def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False):
             sds((1, r_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_pad // chunk, TILE_RAYS), jnp.float32),
+            pltpu.VMEM((n_pad // chunk, tile_rays), jnp.float32),
         ],
         interpret=interpret,
     )(phi_t, cols_rows, boxes, sub_boxes)
@@ -413,10 +426,16 @@ def mt_intersect_stream2(tri_pos, ro, rd, *, interpret: bool = False):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def mt_intersect_stream2_phi(tri_pos, phi_t, *, interpret: bool = False):
     """`mt_intersect_stream2` taking the transposed ray-feature matrix
     phi_t (10, R) directly (see mt_intersect_pallas2_phi)."""
+    return _mt_intersect_stream2_impl(tri_pos, phi_t, interpret=interpret,
+                                      tile_rays=_tile_rays())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_rays"))
+def _mt_intersect_stream2_impl(tri_pos, phi_t, *, interpret: bool,
+                               tile_rays: int):
     R = phi_t.shape[1]
     N = tri_pos.shape[0]
     if N == 0:
@@ -436,7 +455,7 @@ def mt_intersect_stream2_phi(tri_pos, phi_t, *, interpret: bool = False):
     n_pad = int(np.ceil(N / sup)) * sup
     n_chunks = n_pad // chunk
     n_supers = n_pad // sup
-    r_pad = int(np.ceil(R / TILE_RAYS)) * TILE_RAYS
+    r_pad = int(np.ceil(R / tile_rays)) * tile_rays
 
     tri_padded = _pad_to(tri_pos, n_pad, 0)
     cols = triangle_columns(tri_padded)  # (10, 4, Np)
@@ -453,7 +472,7 @@ def mt_intersect_stream2_phi(tri_pos, phi_t, *, interpret: bool = False):
     sub_boxes = _dead_pad_boxes(treelet_boxes(tri_padded, sub), N, sub)
     phi_t = _pad_to(phi_t, r_pad, 1, value=1e30)
 
-    grid = (r_pad // TILE_RAYS,)
+    grid = (r_pad // tile_rays,)
     kernel = functools.partial(_kernel_stream2, chunk=chunk, sub=sub,
                                cps=cps, n_supers=n_supers)
     vma = (getattr(jax.typeof(phi_t), "vma", None)
@@ -466,13 +485,13 @@ def mt_intersect_stream2_phi(tri_pos, phi_t, *, interpret: bool = False):
         sub_boxes = jax.lax.pcast(sub_boxes, axes, to="varying")
     sds = (functools.partial(jax.ShapeDtypeStruct, vma=vma)
            if vma else jax.ShapeDtypeStruct)
-    row_spec = pl.BlockSpec((1, TILE_RAYS), lambda i: (0, i),
+    row_spec = pl.BlockSpec((1, tile_rays), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     t, idx, u, v = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((10, TILE_RAYS), lambda i: (0, i),
+            pl.BlockSpec((10, tile_rays), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # coefficient blocks: HBM
             pl.BlockSpec((n_supers, 8), lambda i: (0, 0),
@@ -490,7 +509,7 @@ def mt_intersect_stream2_phi(tri_pos, phi_t, *, interpret: bool = False):
             sds((1, r_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_supers, TILE_RAYS), jnp.float32),
+            pltpu.VMEM((n_supers, tile_rays), jnp.float32),
             pltpu.VMEM((1, chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],

@@ -532,17 +532,19 @@ def bounce_shade_t(scene, params, hit, carry, *, shade_mat):
 _PIX_ACTIVE_BIT = np.int32(1 << 30)
 
 
-def _sort_bounces() -> np.int32:
-    """How many leading bounces re-bin the ray state (experiment knob).
+def _sort_bounces() -> int:
+    """How many leading bounces re-bin the ray state (TPT_SORT_BOUNCES).
 
     Each per-bounce binning sort costs ~1.3 ms at 512² (the payload
     movement through the sort network dominates; operand grouping doesn't
     change it — examples/micro_sort.py), while its intersect win decays
     with bounce depth.  Sorting is order-restored at the end, so ANY value
-    is bit-identical; the default is tuned on the headline shape."""
+    gives the same image; the default 2 is the measured optimum on the
+    headline shape (sweep: 0->19.9, 1->17.0, 2->15.6, 3->16.7,
+    always->18.2 ms/frame)."""
     import os
 
-    return np.int32(int(os.environ.get("TPT_SORT_BOUNCES", "99")))
+    return int(os.environ.get("TPT_SORT_BOUNCES", "2"))
 
 
 def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
@@ -593,52 +595,55 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     ro = ro.T  # (3, R)
     rd = rd.T
 
-    def body(state):
-        i, (ro, rd, incoming, color, seed, pixact) = state
-        active = pixact >= _PIX_ACTIVE_BIT
-        am = active[None, :]
-        hit = intersector_phi_fn(_ray_features_t(
-            jnp.where(am, ro, jnp.float32(1e30)),
-            jnp.where(am, rd, jnp.float32(0.0)),
-        ))
-        carry = (ro, rd, incoming, color, seed, active)
-        ro, rd, incoming, color, seed, active = bounce_shade_t(
-            scene, params, hit, carry, shade_mat=shade_mat
-        )
-        # Bin for the next bounce: primary = hit triangle (groups rays by
-        # surface locality AND clusters the next shade gather's indices),
-        # secondary = new-direction octant (tightens treelet unions).
-        # Terminated rays sink to the tail (stable, so ties keep order).
-        octant = (
-            (rd[0] > 0).astype(jnp.int32) * 4
-            + (rd[1] > 0).astype(jnp.int32) * 2
-            + (rd[2] > 0).astype(jnp.int32)
-        )
-        key = jnp.where(
-            active,
-            jnp.clip(hit.tri, 0, n_tris - 1) * 8 + octant,
-            jnp.int32(2**31 - 1),
-        )
-        pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
-            active, _PIX_ACTIVE_BIT, 0
-        )
+    def make_body(with_sort: bool):
+        def body(state):
+            i, (ro, rd, incoming, color, seed, pixact) = state
+            active = pixact >= _PIX_ACTIVE_BIT
+            am = active[None, :]
+            hit = intersector_phi_fn(_ray_features_t(
+                jnp.where(am, ro, jnp.float32(1e30)),
+                jnp.where(am, rd, jnp.float32(0.0)),
+            ))
+            carry = (ro, rd, incoming, color, seed, active)
+            ro, rd, incoming, color, seed, active = bounce_shade_t(
+                scene, params, hit, carry, shade_mat=shade_mat
+            )
+            if with_sort:
+                # Bin for the next bounce: primary = hit triangle (groups
+                # rays by surface locality AND clusters the next shade
+                # gather's indices), secondary = new-direction octant
+                # (tightens treelet unions).  Terminated rays sink to the
+                # tail (stable, so ties keep order).
+                octant = (
+                    (rd[0] > 0).astype(jnp.int32) * 4
+                    + (rd[1] > 0).astype(jnp.int32) * 2
+                    + (rd[2] > 0).astype(jnp.int32)
+                )
+                key = jnp.where(
+                    active,
+                    jnp.clip(hit.tri, 0, n_tris - 1) * 8 + octant,
+                    jnp.int32(2**31 - 1),
+                )
+                pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
+                    active, _PIX_ACTIVE_BIT, 0
+                )
+                ro, rd, color, incoming, seed, pixact = _sort_ray_state(
+                    key, ro, rd, color, incoming, seed, pixact
+                )
+            else:
+                pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
+                    active, _PIX_ACTIVE_BIT, 0
+                )
+            return i + 1, (ro, rd, incoming, color, seed, pixact)
 
-        def do_sort(args):
-            return _sort_ray_state(*args)
+        return body
 
-        def no_sort(args):
-            _, ro, rd, color, incoming, seed, pixact = args
-            return ro, rd, color, incoming, seed, pixact
+    def make_cond(bound):
+        def cond(state):
+            i, carry = state
+            return (i < bound) & jnp.any(carry[5] >= _PIX_ACTIVE_BIT)
 
-        ro, rd, color, incoming, seed, pixact = jax.lax.cond(
-            i < _sort_bounces(), do_sort, no_sort,
-            (key, ro, rd, color, incoming, seed, pixact),
-        )
-        return i + 1, (ro, rd, incoming, color, seed, pixact)
-
-    def cond(state):
-        i, carry = state
-        return (i < max_bounces) & jnp.any(carry[5] >= _PIX_ACTIVE_BIT)
+        return cond
 
     init = (
         ro,
@@ -648,9 +653,20 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
         seed,
         pix | _PIX_ACTIVE_BIT,
     )
-    _, (ro, rd, incoming, color, seed, pixact) = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), init)
-    )
+    # Static split instead of a per-iteration lax.cond: the cond's identity
+    # branch copied the whole 15-column carry every bounce (measured
+    # 2.9 ms/frame).  Both loops keep the all-rays-terminated early exit.
+    n_sort = min(int(_sort_bounces()), max_bounces)
+    state = (jnp.int32(0), init)
+    if n_sort:
+        state = jax.lax.while_loop(
+            make_cond(n_sort), make_body(True), state
+        )
+    if n_sort < max_bounces:
+        state = jax.lax.while_loop(
+            make_cond(max_bounces), make_body(False), state
+        )
+    _, (ro, rd, incoming, color, seed, pixact) = state
 
     # Deferred environment term: exactly the rays that terminated via a
     # miss (active := hit_mask, so inactive <=> missed); rays still active
