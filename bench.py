@@ -33,7 +33,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def headline(reps=3):
+def headline(reps=3, deadline=None):
     import jax
 
     import tpu_pathtracer as pt
@@ -48,7 +48,7 @@ def headline(reps=3):
     cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
     res = bench_config(
         data, cam, width=W, height=H, spp=SPP, bounces=BOUNCES, aspect=1.0,
-        reps=reps, log=log,
+        reps=reps, deadline=deadline, log=log,
     )
     log(
         f"headline 512^2x1sppx4b: {res.rays_per_s:.3e} rays/s  "
@@ -152,28 +152,38 @@ def full_sweep():
 
 
 def main() -> None:
+    """Headline FIRST, JSON line emitted the moment it exists, extras after.
+
+    Round-3 ordering (sweep before headline, JSON only at the very end)
+    meant a single slow compile starved the driver artifact (BENCH_r03
+    rc=124, parsed=null).  Now the ONE consumable JSON line is printed as
+    soon as the headline measurement lands; `--full` extras run afterwards
+    and can be killed without losing the record."""
+    import os
+    import time
+
     import jax
 
     from tpu_pathtracer.utils.compcache import enable_compilation_cache
 
+    t_start = time.perf_counter()
+    deadline = t_start + float(os.environ.get("TPT_BENCH_DEADLINE_S", "900"))
     cache_dir = enable_compilation_cache()
     log(f"compilation cache: {cache_dir}")
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
-    if "--full" in sys.argv:
-        full_sweep()
-    res = headline()
+    res = headline(deadline=deadline)
     from tpu_pathtracer.render.benchmark import headline_record
 
     paths_per_s = 512 * 512 * 1 / res.per_frame_s
     rec = headline_record(res, backend, paths_per_s)
-    import os
-
     if os.path.exists("BENCH_SWEEP.json"):
         # attach the most recent config sweep (written by `bench.py --full`)
         with open("BENCH_SWEEP.json") as f:
             rec["sweep"] = json.load(f)
-    print(json.dumps(rec))
+    print(json.dumps(rec), flush=True)
+    if "--full" in sys.argv:
+        full_sweep()
 
 
 if __name__ == "__main__":

@@ -72,7 +72,14 @@ def make_budget(width: int, height: int, spp: int, bounces: int, aspect=None,
                 intersector: str = "auto"):
     """Build fn(scene, params0, n_frames) rendering n frames in ONE jitted
     fori_loop (progressive accumulation, like the reference's full render
-    budget, renderer.ts:366-395) — returns the accumulated (H, W, 3) image."""
+    budget, renderer.ts:366-395) — returns the accumulated (H, W, 3) image.
+
+    ``n_frames`` is a TRACED scalar (dynamic ``fori_loop`` bound), so ONE
+    compiled program serves every frame count.  Round 3's driver bench
+    timed out (BENCH_r03 rc=124) because the old ``static_argnums=(2,)``
+    version compiled a fresh ~200 s XLA program for each of n=1, 2, n1, n2;
+    with a dynamic bound the whole calibrate-and-measure sequence pays for
+    exactly one compile."""
     import jax
     import jax.numpy as jnp
 
@@ -80,9 +87,7 @@ def make_budget(width: int, height: int, spp: int, bounces: int, aspect=None,
 
     aspect = aspect if aspect is not None else width / height
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=(2,))
+    @jax.jit
     def budget(scene_d, params0, n_frames):
         def body(f, acc):
             p = dataclasses.replace(params0, frame=(f + 1).astype(jnp.uint32))
@@ -92,7 +97,8 @@ def make_budget(width: int, height: int, spp: int, bounces: int, aspect=None,
             return accumulate(acc, img, p.frame, enabled=True)
 
         return jax.lax.fori_loop(
-            0, n_frames, body, jnp.zeros((height, width, 3), jnp.float32)
+            0, jnp.asarray(n_frames, jnp.int32), body,
+            jnp.zeros((height, width, 3), jnp.float32)
         )
 
     return budget
@@ -126,6 +132,7 @@ def measure_budget(
     max_frames: int = 512,
     linearity_tol: float = 0.15,
     profile: bool = True,
+    deadline: Optional[float] = None,
     log: Callable[[str], None] = lambda s: None,
 ) -> BenchResult:
     """Measure per-frame time of `budget` with the slope method (see module
@@ -135,7 +142,12 @@ def measure_budget(
     Calibration is latency-aware (round-3 verdict item 8): n1 is sized so
     the fixed dispatch+fetch latency (estimated from T(1) and T(2)) is
     <=10% of T(n1), which keeps the linearity ratio meaningful; the
-    default tolerance band is |1 - linearity| <= 0.15."""
+    default tolerance band is |1 - linearity| <= 0.15.
+
+    ``deadline`` (absolute ``time.perf_counter()`` value) guards the
+    optional extras: once past it, the profiler cross-check is skipped so
+    a slow compile can never starve the headline number (round-3 verdict
+    item 1)."""
     import numpy as np
 
     from ..scene.types import RenderParams
@@ -172,7 +184,8 @@ def measure_budget(
     )
 
     # --- timed points (medians) ------------------------------------------
-    # compile both budget sizes before timing
+    # warm both budget sizes before timing (same compiled program — the
+    # dynamic-bound fori_loop means these are plain executions, not compiles)
     np.asarray(budget(scene_data, params, n1))
     np.asarray(budget(scene_data, params, n2))
     ts1 = sorted(_timed_fetch(lambda: budget(scene_data, params, n1), reps))
@@ -211,6 +224,9 @@ def measure_budget(
 
     # --- profiler cross-check ---------------------------------------------
     device_per_frame = None
+    if profile and deadline is not None and time.perf_counter() > deadline:
+        log("profiler cross-check skipped: past deadline")
+        profile = False
     if profile:
         from ..utils.devtime import device_time
 
@@ -279,13 +295,15 @@ def bench_config(
     reps: int = 3,
     target_seconds: float = 1.5,
     intersector: str = "auto",
+    deadline: Optional[float] = None,
     log: Callable[[str], None] = lambda s: None,
 ) -> BenchResult:
     """Convenience: build the budget program and measure it."""
     budget = make_budget(width, height, spp, bounces, aspect, intersector)
     return measure_budget(
         budget, scene_data, cam, width=width, height=height, spp=spp,
-        bounces=bounces, reps=reps, target_seconds=target_seconds, log=log,
+        bounces=bounces, reps=reps, target_seconds=target_seconds,
+        deadline=deadline, log=log,
     )
 
 
