@@ -52,6 +52,15 @@ class RenderConfig:
     # live; ops/trace.render_frame blue_noise=...).  Not bit-compatible with
     # the reference's hash-jitter stream.
     blue_noise: bool = False
+    # TPU fused-path performance knobs (net-new vs the reference; None =
+    # measured defaults, overridable per-sweep with TPT_SORT_BOUNCES /
+    # TPT_TILE_RAYS env vars — but only values set HERE flow into the
+    # renderer's step cache key and force a correct retrace).
+    # sort_bounces: how many leading bounces re-bin the ray state
+    # (ops/trace._sort_bounces); tile_rays: Pallas kernel ray-tile width,
+    # positive multiple of 128 (ops/pallas/mt_shade._tile_rays).
+    sort_bounces: int | None = None
+    tile_rays: int | None = None
 
     @property
     def scaled_width(self) -> int:

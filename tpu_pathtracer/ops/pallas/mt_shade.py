@@ -53,11 +53,22 @@ CHUNK_TRIS = 128  # level-1 treelet (one cond per live tile)
 SUB_TRIS = 32  # level-2 treelet (conds only inside live chunks)
 
 
-def _tile_rays() -> int:
-    """Ray-tile width (experiment knob TPT_TILE_RAYS, default TILE_RAYS)."""
+def _tile_rays(override=None) -> int:
+    """Resolve the ray-tile width: explicit override (RenderConfig.tile_rays)
+    wins, then the TPT_TILE_RAYS env var (sweep hook, read at trace time —
+    changing it after a caller's jitted step compiled has no effect), then
+    TILE_RAYS.  Must be a positive multiple of 128 (Mosaic lane alignment)."""
     import os
 
-    return int(os.environ.get("TPT_TILE_RAYS", str(TILE_RAYS)))
+    value = override if override is not None else int(
+        os.environ.get("TPT_TILE_RAYS", str(TILE_RAYS))
+    )
+    value = int(value)
+    if value <= 0 or value % 128:
+        raise ValueError(
+            f"tile_rays must be a positive multiple of 128, got {value}"
+        )
+    return value
 
 _BIG_I32 = np.int32(2**31 - 1)
 
@@ -218,12 +229,13 @@ def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
     )
 
 
-def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False):
+def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False,
+                             tile_rays=None):
     """`mt_intersect_pallas2` taking the transposed ray-feature matrix
     phi_t (10, R) directly — the fused trace loop keeps ray state
     component-major, so it builds phi without any transpose."""
     return _mt_intersect_pallas2_impl(tri_pos, phi_t, interpret=interpret,
-                                      tile_rays=_tile_rays())
+                                      tile_rays=_tile_rays(tile_rays))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_rays"))
@@ -426,11 +438,12 @@ def mt_intersect_stream2(tri_pos, ro, rd, *, interpret: bool = False):
     )
 
 
-def mt_intersect_stream2_phi(tri_pos, phi_t, *, interpret: bool = False):
+def mt_intersect_stream2_phi(tri_pos, phi_t, *, interpret: bool = False,
+                             tile_rays=None):
     """`mt_intersect_stream2` taking the transposed ray-feature matrix
     phi_t (10, R) directly (see mt_intersect_pallas2_phi)."""
     return _mt_intersect_stream2_impl(tri_pos, phi_t, interpret=interpret,
-                                      tile_rays=_tile_rays())
+                                      tile_rays=_tile_rays(tile_rays))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_rays"))

@@ -401,9 +401,10 @@ def _sort_ray_state(key, ro, rd, color, incoming, seed, pixact):
 # width, and gathers write (C, R) outputs directly (no layout fixups).
 # Measured on the headline frame: the row-major loop spent ~2.2 ms/frame in
 # pure layout-fixup fusions (slice_reduce_fusion + copies) that this layout
-# deletes.  Each helper mirrors its row-major twin's float associativity
-# exactly (the fused path is bit-compared against the plain loop in
-# tests/test_mt_shade.py).
+# deletes.  Each helper computes the same expression as its row-major twin;
+# XLA contracts the component-major dot/normalize reduces into different
+# FMA chains, so the fused path matches the plain loop to FMA-fusion ULPs
+# (integer RNG streams bit-exact) — tests/test_mt_shade.py.
 
 
 def _normalize_t(v):
@@ -491,8 +492,9 @@ def _env_radiance_packed_t(patches, shape, uv):
 
 def bounce_shade_t(scene, params, hit, carry, *, shade_mat):
     """bounce_shade in component-major layout with the env lookup deferred
-    (the fused path's miss term is added once after the loop).  Same float
-    associativity as bounce_shade — bit-compared in tests/test_mt_shade.py."""
+    (the fused path's miss term is added once after the loop).  Matches
+    bounce_shade to FMA-fusion ULPs (integer RNG streams bit-exact) —
+    tests/test_mt_shade.py."""
     ro, rd, incoming, color, seed, active = carry
     hit_mask = active & hit.hit
 
@@ -532,8 +534,13 @@ def bounce_shade_t(scene, params, hit, carry, *, shade_mat):
 _PIX_ACTIVE_BIT = np.int32(1 << 30)
 
 
-def _sort_bounces() -> int:
-    """How many leading bounces re-bin the ray state (TPT_SORT_BOUNCES).
+def _sort_bounces(override=None) -> int:
+    """How many leading bounces re-bin the ray state.
+
+    Resolution order: explicit override (RenderConfig.sort_bounces), then
+    the TPT_SORT_BOUNCES env var (sweep hook — read at TRACE time, so
+    changing it after a caller's jitted step compiled has no effect; set
+    RenderConfig.sort_bounces to retrace properly), then the default 2.
 
     Each per-bounce binning sort costs ~1.3 ms at 512² (the payload
     movement through the sort network dominates; operand grouping doesn't
@@ -544,11 +551,14 @@ def _sort_bounces() -> int:
     always->18.2 ms/frame)."""
     import os
 
+    if override is not None:
+        return int(override)
     return int(os.environ.get("TPT_SORT_BOUNCES", "2"))
 
 
 def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
-                     intersector_phi_fn, shade_mat=None, env_patches=None):
+                     intersector_phi_fn, shade_mat=None, env_patches=None,
+                     sort_bounces=None):
     """Sorted fused trace loop: the round-3 TPU fast path.
 
     Same per-ray math and RNG streams as `trace_rays` — integer RNG
@@ -656,7 +666,7 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     # Static split instead of a per-iteration lax.cond: the cond's identity
     # branch copied the whole 15-column carry every bounce (measured
     # 2.9 ms/frame).  Both loops keep the all-rays-terminated early exit.
-    n_sort = min(int(_sort_bounces()), max_bounces)
+    n_sort = min(int(_sort_bounces(sort_bounces)), max_bounces)
     state = (jnp.int32(0), init)
     if n_sort:
         state = jax.lax.while_loop(
@@ -760,6 +770,8 @@ def render_frame(
     row_offset=0,
     full_height: int | None = None,
     seed_salt=None,
+    sort_bounces: int | None = None,
+    tile_rays: int | None = None,
 ):
     """Render one progressive frame at (height, width); returns (H, W, 3) f32.
 
@@ -851,7 +863,8 @@ def render_frame(
         base = (mt_intersect_stream2_phi if kind == "mt_stream"
                 else mt_intersect_pallas2_phi)
         intersector_phi_fn = lambda phi_t: base(tri_pos, phi_t,
-                                                interpret=interp)
+                                                interpret=interp,
+                                                tile_rays=tile_rays)
         shade_mat = pack_shade_material_rows(scene)
         env_patches = envsample.pack_env_patches(scene.env.radiance)
 
@@ -872,7 +885,7 @@ def render_frame(
             light, seed = trace_rays_fused(
                 scene, params, o, d, seed, max_bounces=max_bounces,
                 intersector_phi_fn=intersector_phi_fn, shade_mat=shade_mat,
-                env_patches=env_patches,
+                env_patches=env_patches, sort_bounces=sort_bounces,
             )
         else:
             light, seed = trace_rays(

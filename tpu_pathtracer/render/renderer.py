@@ -49,7 +49,8 @@ _jit_postprocess = jax.jit(postprocess, static_argnums=(1, 2, 3))
 
 def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: int,
                     max_bounces: int, accumulate: bool, env_importance: bool = False,
-                    intersector: str = "auto", blue_noise=None):
+                    intersector: str = "auto", blue_noise=None,
+                    sort_bounces=None, tile_rays=None):
     """Build the fused jitted progressive step:
     raytrace one frame + fold it into the accumulation buffer (donated)."""
 
@@ -65,6 +66,8 @@ def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: i
             env_importance=env_importance,
             intersector=intersector,
             blue_noise=blue_noise,
+            sort_bounces=sort_bounces,
+            tile_rays=tile_rays,
         )
         return accumulate_op(acc, frame_img, params.frame, enabled=accumulate)
 
@@ -144,6 +147,7 @@ class Renderer:
             c.scaled_width, c.scaled_height, c.width, c.height,
             c.samples_per_frame, c.max_bounces, c.accumulate, c.intersector,
             getattr(c, "blue_noise", False), self.env_importance,
+            getattr(c, "sort_bounces", None), getattr(c, "tile_rays", None),
         )
         cached = self._step_cache.get(key)
         if cached is not None:
@@ -182,6 +186,8 @@ class Renderer:
                 env_importance=self.env_importance,
                 intersector=c.intersector,
                 blue_noise=bn,
+                sort_bounces=getattr(c, "sort_bounces", None),
+                tile_rays=getattr(c, "tile_rays", None),
             )
         # Separately-jitted per-pass programs for enable_timing: the timed
         # path must measure the same compiled artifacts the fused step runs,
@@ -216,6 +222,8 @@ class Renderer:
                     env_importance=self.env_importance,
                     intersector=c.intersector,
                     blue_noise=bn,
+                    sort_bounces=getattr(c, "sort_bounces", None),
+                    tile_rays=getattr(c, "tile_rays", None),
                 )
 
             self._timed_raytrace = jax.jit(_raytrace_pass)
