@@ -133,5 +133,7 @@ for bounce in range(4):
                     jnp.int32(2 ** 31 - 1))
     pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
         active, _PIX_ACTIVE_BIT, 0)
-    ro, rd, color, incoming, seed, pixact = _sort_ray_state(
-        key, ro, rd, color, incoming, seed, pixact)
+    # _sort_ray_state is component-major (3, R); transpose at the boundary
+    ro_t, rd_t, color_t, incoming_t, seed, pixact = _sort_ray_state(
+        key, ro.T, rd.T, color.T, incoming.T, seed, pixact)
+    ro, rd, color, incoming = ro_t.T, rd_t.T, color_t.T, incoming_t.T

@@ -48,9 +48,9 @@ from ..mt_matmul import ray_features, triangle_columns
 from ..vecmath import EPSILON, INF
 from .mt_intersect import _FEATS, _pad_to, treelet_boxes
 
-TILE_RAYS = 1024
-CHUNK_TRIS = 128  # level-1 treelet (one cond per live tile)
-SUB_TRIS = 32  # level-2 treelet (conds only inside live chunks)
+TILE_RAYS = 512  # measured optimum with the nf list kernel (round 4)
+CHUNK_TRIS = 128  # level-1 treelet (one cond per live tile, cond kernel)
+SUB_TRIS = 32  # level-2 treelet / list granule
 
 
 def _tile_rays(override=None) -> int:
@@ -102,12 +102,8 @@ def _mt_sub_block(phi, rows, s0, t_ref, idx_ref, u_ref, v_ref):
     """Determinants + epilogue + best-hit update for one sub-treelet block.
 
     phi: (10, TR); rows: 4x (S, 10) coefficient slices [a|ua|va|ta]; s0:
-    global triangle index of row 0.  Validity uses the multiplied-through
-    form (ts > EPSILON*|a|), exactly as ops/mt_matmul._epilogue — the
-    divided form (ta*f > EPSILON) differs under rounding for borderline-t
-    lanes and breaks bit-parity.  The best state lives in the output refs
-    and is updated in place under `pl.when` (cond carries copy it)."""
-
+    global triangle index of row 0.  Determinants are VPU term loops over
+    the nonzero features (_FEATS)."""
     def dets(q):
         out = None
         for k in _FEATS[q]:
@@ -115,7 +111,36 @@ def _mt_sub_block(phi, rows, s0, t_ref, idx_ref, u_ref, v_ref):
             out = term if out is None else out + term
         return out  # (S, TR)
 
-    a, ua, va, ta = dets(0), dets(1), dets(2), dets(3)
+    _mt_epilogue(dets(0), dets(1), dets(2), dets(3), s0,
+                 t_ref, idx_ref, u_ref, v_ref)
+
+
+def _mt_mxu_block(phi, blk, s0, t_ref, idx_ref, u_ref, v_ref):
+    """MXU variant: the four determinant quantities of one sub-treelet are
+    ONE matmul.  blk: (4S, 10) block-major coefficient rows
+    [a(S); ua(S); va(S); ta(S)]; the (4S, 10) @ (10, TR) contraction runs
+    on the systolic array at f32 (HIGHEST = bf16 multi-pass) instead of
+    ~19 sequential VPU broadcast-FMA chains.  Zero-coefficient features
+    contribute exact zeros, so values match the term-loop up to dot
+    re-association ULPs (decisions identical except near-ties, the same
+    caveat the compiled kernel already carries vs the XLA 'mt' path)."""
+    s = blk.shape[0] // 4
+    d = jax.lax.dot_general(
+        blk, phi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (4S, TR)
+    _mt_epilogue(d[0:s], d[s:2 * s], d[2 * s:3 * s], d[3 * s:4 * s], s0,
+                 t_ref, idx_ref, u_ref, v_ref)
+
+
+def _mt_epilogue(a, ua, va, ta, s0, t_ref, idx_ref, u_ref, v_ref):
+    """Validity + best-hit update for one (S, TR) determinant block.
+    Validity uses the multiplied-through form (ts > EPSILON*|a|), exactly
+    as ops/mt_matmul._epilogue — the divided form (ta*f > EPSILON) differs
+    under rounding for borderline-t lanes and breaks bit-parity.  The best
+    state lives in the output refs and is updated in place under `pl.when`
+    (cond carries copy it)."""
     abs_a = jnp.abs(a)
     sa = jnp.sign(a)
     us = ua * sa
@@ -132,14 +157,20 @@ def _mt_sub_block(phi, rows, s0, t_ref, idx_ref, u_ref, v_ref):
     )
     t = jnp.where(valid, ta * f, INF)  # (S, TR)
     tmin = jnp.min(t, axis=0, keepdims=True)
-    take = tmin < t_ref[:]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + s0
+    sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
+    imin = jnp.min(sel_rows, axis=0, keepdims=True)
+    # Exact-t ties resolve to the LOWEST triangle index regardless of block
+    # processing order (brute_force_intersect contract): the equality
+    # clause is a no-op when blocks arrive in ascending index order (imin
+    # is then always > idx_ref on a tie) but restores the contract for the
+    # near-to-far kernel, which visits blocks by entry distance.
+    cur = t_ref[:]
+    take = (tmin < cur) | ((tmin == cur) & (tmin < INF) & (imin < idx_ref[:]))
     any_take = jnp.sum(take.astype(jnp.int32)) > 0
 
     @pl.when(any_take)
     def _winner():
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + s0
-        sel_rows = jnp.where(t == tmin, rows_i, _BIG_I32)
-        imin = jnp.min(sel_rows, axis=0, keepdims=True)
         sel = sel_rows == imin
         u_w = jnp.sum(jnp.where(sel, ua * f, 0.0), axis=0, keepdims=True)
         v_w = jnp.sum(jnp.where(sel, va * f, 0.0), axis=0, keepdims=True)
@@ -150,13 +181,17 @@ def _mt_sub_block(phi, rows, s0, t_ref, idx_ref, u_ref, v_ref):
 
 
 def _kernel(phi_ref, cols_ref, boxes_ref, sub_boxes_ref,
-            t_ref, idx_ref, u_ref, v_ref, cull_ref, *, n_tris, chunk, sub):
+            t_ref, idx_ref, u_ref, v_ref, cull_ref,
+            *, n_tris, chunk, sub, mxu):
     """One ray tile vs all triangles with two-level culling.
 
-    phi_ref: (10, TR); cols_ref: (4N, 10) quantity-major; boxes_ref:
-    (Mc, 8) chunk boxes; sub_boxes_ref: (Ms, 8) sub-treelet boxes; outputs
-    (1, TR) x4; cull_ref: (Mc, TR) scratch (dynamic row indexing needs a
-    ref)."""
+    phi_ref: (10, TR); cols_ref: (4N, 10) sub-block-major — row
+    b*4*sub + q*sub + i holds quantity q of triangle b*sub + i, so one
+    (4*sub, 10) slice per sub-treelet feeds either the VPU term loop or
+    one MXU matmul (`mxu`); boxes_ref: (Mc, 8) chunk boxes; sub_boxes_ref:
+    (Ms, 8) sub-treelet boxes (when sub == chunk the level collapses and
+    chunk culling gates the blocks directly); outputs (1, TR) x4;
+    cull_ref: (Mc, TR) scratch (dynamic row indexing needs a ref)."""
     phi = phi_ref[:]
     tr = phi.shape[1]
     n_chunks = n_tris // chunk
@@ -177,8 +212,13 @@ def _kernel(phi_ref, cols_ref, boxes_ref, sub_boxes_ref,
 
     def sub_body(s, c0):
         s0 = c0 + s * sub
-        rows = [cols_ref[pl.ds(q * n_tris + s0, sub), :] for q in range(4)]
-        _mt_sub_block(phi, rows, s0, t_ref, idx_ref, u_ref, v_ref)
+        base = (s0 // sub) * 4 * sub
+        if mxu:
+            blk = cols_ref[pl.ds(base, 4 * sub), :]
+            _mt_mxu_block(phi, blk, s0, t_ref, idx_ref, u_ref, v_ref)
+        else:
+            rows = [cols_ref[pl.ds(base + q * sub, sub), :] for q in range(4)]
+            _mt_sub_block(phi, rows, s0, t_ref, idx_ref, u_ref, v_ref)
 
     def chunk_body(c, carry):
         c0 = c * chunk
@@ -187,6 +227,9 @@ def _kernel(phi_ref, cols_ref, boxes_ref, sub_boxes_ref,
 
         @pl.when(any_live)
         def _do():
+            if subs_per_chunk == 1:
+                sub_body(0, c0)  # chunk == sub: chunk cull already gated us
+                return
             sub_boxes = sub_boxes_ref[pl.ds(c * subs_per_chunk, subs_per_chunk), :]
             sub_entry = _slab_entries(sub_boxes, ro, rd, par, inv)
             for s in range(subs_per_chunk):
@@ -209,12 +252,160 @@ def _kernel(phi_ref, cols_ref, boxes_ref, sub_boxes_ref,
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
+def _kernel_list(count_ref, list_ref, phi_ref, cols_ref,
+                 t_ref, idx_ref, u_ref, v_ref, *, sub, mxu):
+    """Precull-list variant: zero in-kernel culling.
+
+    The per-tile live sub-treelet LIST is computed outside the kernel
+    (`_precull_live_subs`: the same per-ray slab test the cond kernel ran
+    in-VMEM, reduced per tile) and arrives in SMEM; the kernel runs one
+    dynamic-trip fori_loop over exactly the live blocks.  This deletes the
+    per-chunk/per-sub `lax.cond`s and their (1, TR) vector-reduction
+    guards, which dominated the cond kernel's cost at low liveness
+    (measured 7.4 us/tile vs <1 us of determinant+epilogue work on the
+    headline primary bounce — examples/instrument_liveness.py).  The
+    trade: no progressive best-t pruning (the precull uses t = inf);
+    liveness numbers show that prunes nothing on in-scope scenes.
+
+    count_ref: (T, 1) SMEM (whole array; indexed by program_id — tiled
+    SMEM blocks trip the Pallas block-alignment check); list_ref: (T, Ms)
+    SMEM live sub indices (ascending; entries past count are undefined);
+    phi_ref: (10, TR); cols_ref: (4N, 10) sub-block-major."""
+    phi = phi_ref[:]
+    tr = phi.shape[1]
+    tile = pl.program_id(0)
+
+    kzf = phi[0:1, :] * jnp.float32(0.0)
+    t_ref[:] = jnp.full((1, tr), INF, jnp.float32) + kzf
+    idx_ref[:] = jnp.full((1, tr), -1, jnp.int32) + kzf.astype(jnp.int32)
+    u_ref[:] = kzf
+    v_ref[:] = kzf
+
+    def body(j, carry):
+        s = list_ref[tile, j]
+        base = pl.multiple_of(s * (4 * sub), 4 * sub)
+        if mxu:
+            blk = cols_ref[pl.ds(base, 4 * sub), :]
+            _mt_mxu_block(phi, blk, s * sub, t_ref, idx_ref, u_ref, v_ref)
+        else:
+            rows = [cols_ref[pl.ds(base + q * sub, sub), :] for q in range(4)]
+            _mt_sub_block(phi, rows, s * sub, t_ref, idx_ref, u_ref, v_ref)
+        return carry
+
+    jax.lax.fori_loop(0, count_ref[tile, 0], body, 0)
+
+
+def _kernel_nf(count_ref, list_ref, emin_ref, phi_ref, cols_ref,
+               t_ref, idx_ref, u_ref, v_ref, *, sub, mxu):
+    """Near-to-far list variant: tile-granular front-to-back traversal.
+
+    Like `_kernel_list`, but the precull orders each tile's live subs by
+    ascending per-tile entry distance and ships the distances along; the
+    kernel walks the list in that order and BREAKS once the next entry
+    exceeds the tile's worst live hit (a scalar compare against SMEM — no
+    per-sub vector reductions).  This restores the progressive best-t
+    pruning the cond kernel got from its `entry < t_ref` guards, without
+    paying a vector reduce+cond per *candidate*: one max-reduce per
+    *evaluated* sub maintains the scalar bound.
+
+    Parked lanes (rd = 0) and padding lanes (phi = 1e30) are excluded from
+    the bound by initializing their t to -INF: they can never take a hit
+    (take needs tmin < t_ref), and a tile of only parked lanes has
+    tmax = -INF so the walk breaks immediately.  The caller only reads t
+    where idx >= 0, so the -INF sentinel never escapes (Hit.t is INF on
+    miss by contract of the caller's jnp.where on idx)."""
+    phi = phi_ref[:]
+    tr = phi.shape[1]
+    tile = pl.program_id(0)
+
+    rd = phi[4:7, :]
+    parked = (jnp.abs(rd[0:1, :]) + jnp.abs(rd[1:2, :])
+              + jnp.abs(rd[2:3, :])) == 0.0
+
+    kzf = phi[0:1, :] * jnp.float32(0.0)
+    t_ref[:] = jnp.where(parked, -INF, INF) + kzf
+    idx_ref[:] = jnp.full((1, tr), -1, jnp.int32) + kzf.astype(jnp.int32)
+    u_ref[:] = kzf
+    v_ref[:] = kzf
+
+    def cond(state):
+        j, tmax = state
+        return (j < count_ref[tile, 0]) & (emin_ref[tile, j] < tmax)
+
+    def body(state):
+        j, tmax = state
+        s = list_ref[tile, j]
+        base = pl.multiple_of(s * (4 * sub), 4 * sub)
+        if mxu:
+            blk = cols_ref[pl.ds(base, 4 * sub), :]
+            _mt_mxu_block(phi, blk, s * sub, t_ref, idx_ref, u_ref, v_ref)
+        else:
+            rows = [cols_ref[pl.ds(base + q * sub, sub), :] for q in range(4)]
+            _mt_sub_block(phi, rows, s * sub, t_ref, idx_ref, u_ref, v_ref)
+        return j + 1, jnp.max(t_ref[:])
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), INF))
+
+
+def _precull_live_subs(sub_boxes, phi_t, tile_rays: int):
+    """Exact per-ray slab precull, reduced to per-tile live sub lists.
+
+    sub_boxes: (Ms, 8); phi_t: (10, R) PADDED to a tile multiple (parked
+    lanes have rd = 0 and never hit a box).  Returns (counts (T, 1) i32,
+    lists (T, Ms) i32): lists[t, :counts[t]] are the ascending live sub
+    indices for ray tile t.  Runs as plain XLA (fused VPU work + small
+    sorts) — identical liveness to the cond kernel's INF-best-t guards."""
+    ms = sub_boxes.shape[0]
+    r = phi_t.shape[1]
+    ro = phi_t[1:4, :]
+    rd = phi_t[4:7, :]
+    par = jnp.abs(rd) < EPSILON
+    inv = jnp.float32(1.0) / jnp.where(par, jnp.float32(1.0), rd)
+    entry = _slab_entries(sub_boxes, ro, rd, par, inv)  # (Ms, R)
+    emin = jnp.min(entry.reshape(ms, r // tile_rays, tile_rays), axis=-1)
+    live = emin < INF  # (Ms, T)
+    counts = jnp.sum(live.astype(jnp.int32), axis=0)[:, None]  # (T, 1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, live.shape, 0)
+    # near-to-far: sort by per-tile min entry distance (INF = dead filler
+    # sinks to the tail); ids ride along.  Also serves the unordered list
+    # kernel (any order is correct there).
+    emins, lists = jax.lax.sort((emin, sub_ids), dimension=0, num_keys=1)
+    return counts, lists.T, emins.T  # (T, 1), (T, Ms), (T, Ms)
+
+
 # Whole-scene VMEM wall, as the round-2 kernel (measured there: 16K tris ->
 # 17.2 MB > the 16 MB scoped limit).
 MT_SHADE_MAX_TRIS = 8192
 
 
-def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
+def _mxu_dets(override=None) -> bool:
+    """Resolve the MXU-determinant toggle: explicit override, then the
+    TPT_MXU_DETS env var (sweep hook, read at trace time), then True (the
+    measured default on-chip; the VPU term loop stays available for
+    comparison sweeps and is numerically identical in interpret mode)."""
+    import os
+
+    if override is not None:
+        return bool(override)
+    return os.environ.get("TPT_MXU_DETS", "1") not in ("0", "false", "")
+
+
+def _pack_subblock_major(cols, sub: int):
+    """(10, 4, Np) coefficient tensor -> (4*Np, 10) sub-block-major rows:
+    row b*4*sub + q*sub + i = quantity q of triangle b*sub + i.  One
+    contiguous (4*sub, 10) slice per sub-treelet serves both the VPU term
+    loop and the MXU matmul."""
+    n = cols.shape[2]
+    qs = jnp.transpose(cols, (1, 2, 0))  # (4, Np, 10)
+    return (
+        qs.reshape(4, n // sub, sub, 10)
+        .transpose(1, 0, 2, 3)
+        .reshape(4 * n, 10)
+    )
+
+
+def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False,
+                         mxu_dets=None, cull=None):
     """Two-level-culled fused all-pairs MT intersection; returns
     `intersect.Hit`.
 
@@ -225,22 +416,61 @@ def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False):
     the kernel in the Pallas interpreter for CPU tests.
     """
     return mt_intersect_pallas2_phi(
-        tri_pos, ray_features(ro, rd).T, interpret=interpret
+        tri_pos, ray_features(ro, rd).T, interpret=interpret,
+        mxu_dets=mxu_dets, cull=cull,
     )
 
 
+def _cull_mode(override=None) -> str:
+    """Resolve the culling strategy: 'list' (XLA precull -> per-tile live
+    sub lists in SMEM, zero in-kernel conds) or 'cond' (in-kernel
+    two-level slab tests with lax.cond gates).  Override, then the
+    TPT_CULL env var (sweep hook), then 'list' (measured default)."""
+    import os
+
+    value = override if override is not None else os.environ.get(
+        "TPT_CULL", "nf"
+    )
+    if value not in ("nf", "list", "cond"):
+        raise ValueError(f"cull must be 'nf', 'list' or 'cond', got {value!r}")
+    return value
+
+
+def _sub_tris(override=None) -> int:
+    """Resolve the sub-treelet granule: override, then TPT_SUB env var
+    (sweep hook), then SUB_TRIS.  Must be a positive multiple of 8 that
+    divides CHUNK_TRIS."""
+    import os
+
+    value = int(override if override is not None
+                else os.environ.get("TPT_SUB", str(SUB_TRIS)))
+    if value <= 0 or value % 8 or CHUNK_TRIS % value:
+        raise ValueError(
+            f"sub must be a positive multiple of 8 dividing {CHUNK_TRIS}, "
+            f"got {value}"
+        )
+    return value
+
+
 def mt_intersect_pallas2_phi(tri_pos, phi_t, *, interpret: bool = False,
-                             tile_rays=None):
+                             tile_rays=None, mxu_dets=None, cull=None,
+                             sub=None):
     """`mt_intersect_pallas2` taking the transposed ray-feature matrix
     phi_t (10, R) directly — the fused trace loop keeps ray state
     component-major, so it builds phi without any transpose."""
     return _mt_intersect_pallas2_impl(tri_pos, phi_t, interpret=interpret,
-                                      tile_rays=_tile_rays(tile_rays))
+                                      tile_rays=_tile_rays(tile_rays),
+                                      mxu=_mxu_dets(mxu_dets),
+                                      cull=_cull_mode(cull),
+                                      sub=_sub_tris(sub))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_rays"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_rays", "mxu", "cull",
+                                    "sub"))
 def _mt_intersect_pallas2_impl(tri_pos, phi_t, *, interpret: bool,
-                               tile_rays: int):
+                               tile_rays: int, mxu: bool = False,
+                               cull: str = "cond", sub: int = SUB_TRIS):
     R = phi_t.shape[1]
     N = tri_pos.shape[0]
     if N == 0:
@@ -258,59 +488,88 @@ def _mt_intersect_pallas2_impl(tri_pos, phi_t, *, interpret: bool,
     # (Mosaic requirement); tiny scenes just pad to one chunk (padded rows
     # are degenerate — all-zero boxes and dets, never valid).
     chunk = CHUNK_TRIS
-    sub = SUB_TRIS
     n_pad = int(np.ceil(N / chunk)) * chunk
     r_pad = int(np.ceil(R / tile_rays)) * tile_rays
 
     tri_padded = _pad_to(tri_pos, n_pad, 0)
     cols = triangle_columns(tri_padded)  # (10, 4, Np)
-    cols_rows = jnp.transpose(cols, (1, 2, 0)).reshape(4 * n_pad, 10)
+    cols_rows = _pack_subblock_major(cols, sub)
     boxes = treelet_boxes(tri_padded, chunk)  # (Mc, 8)
     sub_boxes = treelet_boxes(tri_padded, sub)  # (Ms, 8)
     phi_t = _pad_to(phi_t, r_pad, 1, value=1e30)  # parked padding lanes
 
     grid = (r_pad // tile_rays,)
-    kernel = functools.partial(_kernel, n_tris=n_pad, chunk=chunk, sub=sub)
+    n_subs = n_pad // sub
     vma = (getattr(jax.typeof(phi_t), "vma", None)
            if hasattr(jax, "typeof") else None)
-    if vma:
-        # Under shard_map with check_vma: scene operands are axis-invariant
-        # while rays vary, and the traced kernel body's binary ops require
-        # matching varying axes — pvary the scene tables up front (free: the
-        # data is replicated anyway).
-        axes = tuple(vma)
-        cols_rows = jax.lax.pcast(cols_rows, axes, to="varying")
-        boxes = jax.lax.pcast(boxes, axes, to="varying")
-        sub_boxes = jax.lax.pcast(sub_boxes, axes, to="varying")
     sds = (functools.partial(jax.ShapeDtypeStruct, vma=vma)
            if vma else jax.ShapeDtypeStruct)
     row_spec = pl.BlockSpec((1, tile_rays), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    t, idx, u, v = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((10, tile_rays), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * n_pad, 10), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad // chunk, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad // sub, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[row_spec] * 4,
-        out_shape=[
-            sds((1, r_pad), jnp.float32),
-            sds((1, r_pad), jnp.int32),
-            sds((1, r_pad), jnp.float32),
-            sds((1, r_pad), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_pad // chunk, tile_rays), jnp.float32),
-        ],
-        interpret=interpret,
-    )(phi_t, cols_rows, boxes, sub_boxes)
+    out_shape = [
+        sds((1, r_pad), jnp.float32),
+        sds((1, r_pad), jnp.int32),
+        sds((1, r_pad), jnp.float32),
+        sds((1, r_pad), jnp.float32),
+    ]
+    if cull in ("list", "nf"):
+        counts, lists, emins = _precull_live_subs(sub_boxes, phi_t, tile_rays)
+        if vma:
+            axes = tuple(vma)
+            cols_rows = jax.lax.pcast(cols_rows, axes, to="varying")
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        ray_spec = pl.BlockSpec((10, tile_rays), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        cols_spec = pl.BlockSpec((4 * n_pad, 10), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        if cull == "nf":
+            kernel = functools.partial(_kernel_nf, sub=sub, mxu=mxu)
+            in_specs = [smem, smem, smem, ray_spec, cols_spec]
+            args = (counts, lists, emins, phi_t, cols_rows)
+        else:
+            kernel = functools.partial(_kernel_list, sub=sub, mxu=mxu)
+            in_specs = [smem, smem, ray_spec, cols_spec]
+            args = (counts, lists, phi_t, cols_rows)
+        t, idx, u, v = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[row_spec] * 4,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+    else:
+        kernel = functools.partial(_kernel, n_tris=n_pad, chunk=chunk,
+                                   sub=sub, mxu=mxu)
+        if vma:
+            # Under shard_map with check_vma: scene operands are axis-
+            # invariant while rays vary, and the traced kernel body's binary
+            # ops require matching varying axes — pvary the scene tables up
+            # front (free: the data is replicated anyway).
+            axes = tuple(vma)
+            cols_rows = jax.lax.pcast(cols_rows, axes, to="varying")
+            boxes = jax.lax.pcast(boxes, axes, to="varying")
+            sub_boxes = jax.lax.pcast(sub_boxes, axes, to="varying")
+        t, idx, u, v = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((10, tile_rays), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * n_pad, 10), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad // chunk, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad // sub, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[row_spec] * 4,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n_pad // chunk, tile_rays), jnp.float32),
+            ],
+            interpret=interpret,
+        )(phi_t, cols_rows, boxes, sub_boxes)
 
     t = t[0, :R]
     idx = idx[0, :R]

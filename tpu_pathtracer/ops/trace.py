@@ -533,6 +533,32 @@ def bounce_shade_t(scene, params, hit, carry, *, shade_mat):
 
 _PIX_ACTIVE_BIT = np.int32(1 << 30)
 
+_DIR_BINS = 96  # 6 dominant-axis half-spaces x 4x4 quantized minor axes
+
+
+def _direction_bin(rd):
+    """Quantize (3, R) directions into 96 angular bins: dominant axis +
+    sign (6 half-spaces) x a 4x4 grid over the two minor-axis slopes.
+
+    A finer binning than the 8 octants for the per-bounce coherence sort:
+    diffuse rays leaving one surface span a hemisphere, and at octant
+    granularity a 1024-ray kernel tile still unions ~14x more sub-treelet
+    work than its rays individually need (measured; see
+    docs/DESIGN_NOTES.md round 4).  ~20 VPU ops, no gathers."""
+    ax, ay, az = jnp.abs(rd[0]), jnp.abs(rd[1]), jnp.abs(rd[2])
+    dom_y = (ay >= ax) & (ay >= az)
+    dom_z = (az >= ax) & (az > ay) & ~dom_y
+    dom_x = ~dom_y & ~dom_z
+    d_dom = jnp.where(dom_x, rd[0], jnp.where(dom_y, rd[1], rd[2]))
+    a_dom = jnp.maximum(jnp.abs(d_dom), jnp.float32(1e-30))
+    u1 = jnp.where(dom_x, rd[1], jnp.where(dom_y, rd[2], rd[0])) / a_dom
+    u2 = jnp.where(dom_x, rd[2], jnp.where(dom_y, rd[0], rd[1])) / a_dom
+    q1 = jnp.clip(((u1 + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    q2 = jnp.clip(((u2 + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    half = (jnp.where(dom_x, 0, jnp.where(dom_y, 1, 2)) * 2
+            + (d_dom > 0).astype(jnp.int32))
+    return half * 16 + q1 * 4 + q2
+
 
 def _sort_bounces(override=None) -> int:
     """How many leading bounces re-bin the ray state.
@@ -621,17 +647,15 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
             if with_sort:
                 # Bin for the next bounce: primary = hit triangle (groups
                 # rays by surface locality AND clusters the next shade
-                # gather's indices), secondary = new-direction octant
-                # (tightens treelet unions).  Terminated rays sink to the
-                # tail (stable, so ties keep order).
-                octant = (
-                    (rd[0] > 0).astype(jnp.int32) * 4
-                    + (rd[1] > 0).astype(jnp.int32) * 2
-                    + (rd[2] > 0).astype(jnp.int32)
-                )
+                # gather's indices), secondary = 96-bin quantized new
+                # direction (tightens treelet unions ~20% beyond octants
+                # on the headline bounce-1 set; measured round 4).
+                # Terminated rays sink to the tail (stable, so ties keep
+                # order).
                 key = jnp.where(
                     active,
-                    jnp.clip(hit.tri, 0, n_tris - 1) * 8 + octant,
+                    jnp.clip(hit.tri, 0, n_tris - 1) * _DIR_BINS
+                    + _direction_bin(rd),
                     jnp.int32(2**31 - 1),
                 )
                 pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
