@@ -582,6 +582,36 @@ def _sort_bounces(override=None) -> int:
     return int(os.environ.get("TPT_SORT_BOUNCES", "2"))
 
 
+def _coherence_key(ro, rd, active, boxes):
+    """Per-ray binning key for the bounce sort: (nearest live treelet,
+    live-treelet count, 96-bin direction).
+
+    A cheap chunk-level (16-box) slab test predicts which treelets each
+    NEW ray can touch; grouping rays by (nearest treelet, live count)
+    makes kernel tiles share live sets — measured 2.7x less tile-union
+    eval volume than the (hit triangle, direction-bin) key on the
+    headline bounce-1 set, at ~0.1 ms/bounce of slab cost (round 4).
+    Escaping rays (empty live set) group together into count-0 tiles the
+    kernel skips entirely.  ro/rd: (3, R); boxes: (Mc, 8) chunk treelet
+    boxes; returns i32 (R,), 2^31-1 for inactive rays."""
+    from .pallas.mt_shade import _slab_entries
+    from .vecmath import EPSILON, INF
+
+    # taint the invariant box table with the rays' vma type (shard_map
+    # check_vma requires matching varying axes; numeric no-op)
+    boxes = boxes + ro[0:1, 0:1] * jnp.float32(0.0)
+    par = jnp.abs(rd) < EPSILON
+    inv = jnp.float32(1.0) / jnp.where(par, jnp.float32(1.0), rd)
+    entry = _slab_entries(boxes, ro, rd, par, inv)  # (Mc, R)
+    live = entry < INF
+    nlive = jnp.sum(live.astype(jnp.int32), axis=0)
+    nearest = jnp.argmin(entry, axis=0).astype(jnp.int32)
+    mc = boxes.shape[0]
+    nearest = jnp.where(nlive > 0, nearest, jnp.int32(mc))
+    key = (nearest * (mc + 1) + nlive) * _DIR_BINS + _direction_bin(rd)
+    return jnp.where(active, key, jnp.int32(2**31 - 1))
+
+
 def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
                      intersector_phi_fn, shade_mat=None, env_patches=None,
                      sort_bounces=None):
@@ -631,6 +661,17 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     ro = ro.T  # (3, R)
     rd = rd.T
 
+    # Chunk-treelet boxes for the coherence-sort key (invariant, hoisted
+    # out of the bounce loop by XLA).
+    from .pallas.mt_intersect import _pad_to, treelet_boxes
+    from .pallas.mt_shade import CHUNK_TRIS
+
+    key_boxes = treelet_boxes(
+        _pad_to(scene.packed.tri_pos,
+                -(-n_tris // CHUNK_TRIS) * CHUNK_TRIS, 0),
+        CHUNK_TRIS,
+    )
+
     def make_body(with_sort: bool):
         def body(state):
             i, (ro, rd, incoming, color, seed, pixact) = state
@@ -645,19 +686,10 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
                 scene, params, hit, carry, shade_mat=shade_mat
             )
             if with_sort:
-                # Bin for the next bounce: primary = hit triangle (groups
-                # rays by surface locality AND clusters the next shade
-                # gather's indices), secondary = 96-bin quantized new
-                # direction (tightens treelet unions ~20% beyond octants
-                # on the headline bounce-1 set; measured round 4).
-                # Terminated rays sink to the tail (stable, so ties keep
-                # order).
-                key = jnp.where(
-                    active,
-                    jnp.clip(hit.tri, 0, n_tris - 1) * _DIR_BINS
-                    + _direction_bin(rd),
-                    jnp.int32(2**31 - 1),
-                )
+                # Bin for the next bounce by predicted intersection work
+                # (_coherence_key); terminated rays sink to the tail
+                # (stable, so ties keep order).
+                key = _coherence_key(ro, rd, active, key_boxes)
                 pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
                     active, _PIX_ACTIVE_BIT, 0
                 )
