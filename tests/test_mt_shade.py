@@ -221,3 +221,36 @@ def test_fused_trace_spp_seed_carry():
     finally:
         tr._any_vma = orig
     np.testing.assert_allclose(img_fused, img_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_env_importance_matches_plain_loop():
+    """Fused path with env_importance=True (round-4: the importance-sampled
+    env term runs as ONE deferred post-loop pass — a miss is a ray's final
+    event and the carried seed is the miss-time seed, so the 2 uniform
+    draws + CDF inversion replay the plain loop's exactly).  Same ULP
+    contract as test_fused_trace_matches_plain_loop."""
+    import tpu_pathtracer as pt
+    import tpu_pathtracer.ops.trace as tr
+    from tpu_pathtracer.ops.trace import render_frame
+    from tpu_pathtracer.scene.envmap import gradient_sky
+    from tpu_pathtracer.scene.types import Camera, RenderParams
+
+    scene = pt.default_scene(gradient_sky(8, 16))
+    data = scene.compile()
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    params = RenderParams.create(cam, frame=3)
+    kw = dict(width=32, height=32, aspect=1.0, samples_per_frame=1,
+              max_bounces=3, env_importance=True)
+    img_fused = np.asarray(
+        render_frame(data, params, intersector="mt_pallas", **kw)
+    )
+    orig = tr._any_vma
+    tr._any_vma = lambda *a: True  # force the plain loop (same kernel)
+    try:
+        img_plain = np.asarray(
+            render_frame(data, params, intersector="mt_pallas", **kw)
+        )
+    finally:
+        tr._any_vma = orig
+    assert np.isfinite(img_fused).all()
+    np.testing.assert_allclose(img_fused, img_plain, rtol=1e-5, atol=1e-6)

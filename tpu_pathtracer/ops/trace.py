@@ -614,7 +614,7 @@ def _coherence_key(ro, rd, active, boxes):
 
 def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
                      intersector_phi_fn, shade_mat=None, env_patches=None,
-                     sort_bounces=None):
+                     sort_bounces=None, env_importance: bool = False):
     """Sorted fused trace loop: the round-3 TPU fast path.
 
     Same per-ray math and RNG streams as `trace_rays` — integer RNG
@@ -661,15 +661,20 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     ro = ro.T  # (3, R)
     rd = rd.T
 
-    # Chunk-treelet boxes for the coherence-sort key (invariant, hoisted
-    # out of the bounce loop by XLA).
+    # Treelet boxes for the coherence-sort key (invariant, hoisted out of
+    # the bounce loop by XLA).  The key slab costs O(boxes x R), so the
+    # granule coarsens on big scenes to keep the box count <= 64 (chunk
+    # granularity up to 8K triangles, super-treelets beyond).
     from .pallas.mt_intersect import _pad_to, treelet_boxes
     from .pallas.mt_shade import CHUNK_TRIS
 
+    key_granule = CHUNK_TRIS
+    while n_tris > 64 * key_granule:
+        key_granule *= 2
     key_boxes = treelet_boxes(
         _pad_to(scene.packed.tri_pos,
-                -(-n_tris // CHUNK_TRIS) * CHUNK_TRIS, 0),
-        CHUNK_TRIS,
+                -(-n_tris // key_granule) * key_granule, 0),
+        key_granule,
     )
 
     def make_body(with_sort: bool):
@@ -740,13 +745,27 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     # (raytrace.wgsl:378-408).  rd/color still hold their miss-time values
     # (updates are hit-gated).
     missed = pixact < _PIX_ACTIVE_BIT
-    env_uv = _env_uv_from_ray_t(rd, params.env_rotation)
-    env = _env_radiance_packed_t(
-        env_patches, (scene.env.height, scene.env.width), env_uv
-    )
-    incoming = incoming + jnp.where(
-        missed[None, :], env * params.env_intensity * color, 0.0
-    )
+    if env_importance:
+        # CDF importance sampling (the reference's shipped-disabled variant
+        # with the PDF correction, raytrace.wgsl:315-349, 398-404) deferred
+        # to one post-loop pass: a miss is always a ray's FINAL event and
+        # the carried seed is the miss-time seed, so the two uniform draws
+        # and the CDF inversion replay exactly as in the per-bounce plain
+        # loop (bounce_shade) — bit-identical streams, matched to
+        # FMA-fusion ULPs in radiance (tests/test_mt_shade.py).
+        seed_m, env_uv_rm = envsample.env_importance_sample(scene.env, seed)
+        pdf = envsample.env_pdf(scene.env, env_uv_rm)
+        # same mul/div order as bounce_shade: radiance * intensity / pdf
+        env_term = _env_radiance_packed_t(
+            env_patches, (scene.env.height, scene.env.width), env_uv_rm.T
+        ) * params.env_intensity / pdf[None, :]
+        seed = jnp.where(missed, seed_m, seed)
+    else:
+        env_uv = _env_uv_from_ray_t(rd, params.env_rotation)
+        env_term = _env_radiance_packed_t(
+            env_patches, (scene.env.height, scene.env.width), env_uv
+        ) * params.env_intensity
+    incoming = incoming + jnp.where(missed[None, :], env_term * color, 0.0)
 
     # Restore the caller's ray order (one 5-operand sort by pixel index).
     pixkey = pixact & (_PIX_ACTIVE_BIT - 1)
@@ -865,7 +884,7 @@ def render_frame(
     # on-chip, sharded == unsharded bit-exact); only the CPU interpreter
     # lowering trips the checker, so it falls back to the XLA loop there.
     fused = (kind in ("mt_pallas", "mt_stream")
-             and not differentiable and not env_importance
+             and not differentiable
              and (jax.default_backend() == "tpu"
                   or not _any_vma(row_offset, seed_salt, params.frame)))
     if fused:
@@ -942,6 +961,7 @@ def render_frame(
                 scene, params, o, d, seed, max_bounces=max_bounces,
                 intersector_phi_fn=intersector_phi_fn, shade_mat=shade_mat,
                 env_patches=env_patches, sort_bounces=sort_bounces,
+                env_importance=env_importance,
             )
         else:
             light, seed = trace_rays(
