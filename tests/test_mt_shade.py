@@ -254,3 +254,20 @@ def test_fused_env_importance_matches_plain_loop():
         tr._any_vma = orig
     assert np.isfinite(img_fused).all()
     np.testing.assert_allclose(img_fused, img_plain, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("cull", ["nf", "list", "cond"])
+def test_pallas2_cull_modes_parity(cull):
+    """All three culling strategies (near-far precull list / unordered
+    precull list / in-kernel cond guards) reproduce the XLA MT decisions
+    exactly, including with parked rays interleaved (round 4)."""
+    rng = np.random.default_rng(11)
+    tri = random_soup(rng, 500)
+    ro, rd = random_rays(rng, 900)
+    park = np.arange(900) % 4 == 0
+    ro = jnp.asarray(np.where(park[:, None], 1e30, ro), jnp.float32)
+    rd = jnp.asarray(np.where(park[:, None], 0.0, rd), jnp.float32)
+    ha = mt_intersect(tri, ro, rd)
+    hb = mt_intersect_pallas2(tri, ro, rd, interpret=True, cull=cull)
+    assert not np.asarray(hb.hit)[park].any()
+    assert_hit_parity(ha, hb, min_hits=30)

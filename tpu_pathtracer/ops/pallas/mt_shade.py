@@ -489,6 +489,12 @@ def _mt_intersect_pallas2_impl(tri_pos, phi_t, *, interpret: bool,
     # are degenerate — all-zero boxes and dets, never valid).
     chunk = CHUNK_TRIS
     n_pad = int(np.ceil(N / chunk)) * chunk
+    if cull in ("list", "nf"):
+        # The per-tile live lists (+ entry distances for 'nf') live in SMEM
+        # (~1 MB): cap the tile count at 512 by widening tiles on large ray
+        # batches (1080p = 1M rays would otherwise need 3 MB of lists).
+        while -(-R // tile_rays) > 512:
+            tile_rays *= 2
     r_pad = int(np.ceil(R / tile_rays)) * tile_rays
 
     tri_padded = _pad_to(tri_pos, n_pad, 0)
