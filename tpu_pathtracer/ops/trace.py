@@ -364,25 +364,34 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
 
 
 def _sort_ray_state(key, ro, rd, color, incoming, seed, pixact):
-    """Stable-sort the component-major per-ray bounce state by `key` (i32).
+    """Sort the component-major per-ray bounce state by `key` (i32).
 
     ro/rd/color/incoming are (3, R); each component row is a contiguous
     (R,) sort operand, and re-assembling the sorted rows is a plain axis-0
     stack (concatenation), not the row-major layout's interleave.  The
-    payload movement through the sort network dominates the cost
+    payload movement through the sort network dominates the runtime cost
     (~1.3 ms at 512² however the 14 payload columns are grouped —
-    examples/micro_sort.py; barrier-split sorts and gather-permutes all
-    measure worse), so the fused loop limits how many bounces sort at all
-    (`_sort_bounces`)."""
+    examples/micro_sort.py), so the fused loop limits how many bounces
+    sort at all (`_sort_bounces`).
+
+    ONE 15-operand sort instead of two 8-operand sorts, `is_stable=False`:
+    each variadic lax.sort instruction lowers its own ~60 s XLA sorting
+    network on TPU (measured round 4 — the binning sorts were ~120 s of
+    the 154 s frame compile), so fewer+unstable instructions compile far
+    faster at identical runtime.  Instability is semantically free here:
+    per-ray results are independent of ray order (the kernel's winner
+    selection is order-independent by the explicit lowest-index
+    tie-break), and the final order restore keys on the UNIQUE per-ray
+    pixel index, so the restored image is bit-identical either way.  Tile
+    membership of tied rays may differ run-to-run structure-wise, but XLA
+    sorts are deterministic networks, so renders stay reproducible."""
     seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
-    _, ro0, ro1, ro2, rd0, rd1, rd2, seed_i = jax.lax.sort(
-        (key, ro[0], ro[1], ro[2], rd[0], rd[1], rd[2], seed_i),
-        dimension=0, num_keys=1,
-    )
-    _, c0, c1, c2, i0, i1, i2, pixact = jax.lax.sort(
-        (key, color[0], color[1], color[2], incoming[0], incoming[1],
-         incoming[2], pixact),
-        dimension=0, num_keys=1,
+    (_, ro0, ro1, ro2, rd0, rd1, rd2, c0, c1, c2, i0, i1, i2, seed_i,
+     pixact) = jax.lax.sort(
+        (key, ro[0], ro[1], ro[2], rd[0], rd[1], rd[2],
+         color[0], color[1], color[2], incoming[0], incoming[1], incoming[2],
+         seed_i, pixact),
+        dimension=0, num_keys=1, is_stable=False,
     )
     return (
         jnp.stack([ro0, ro1, ro2], axis=0),
@@ -767,12 +776,13 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
         ) * params.env_intensity
     incoming = incoming + jnp.where(missed[None, :], env_term * color, 0.0)
 
-    # Restore the caller's ray order (one 5-operand sort by pixel index).
+    # Restore the caller's ray order (one 5-operand sort by pixel index;
+    # keys are unique, so an unstable sort is exact and compiles faster).
     pixkey = pixact & (_PIX_ACTIVE_BIT - 1)
     seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
     _, i0, i1, i2, seed_i = jax.lax.sort(
         (pixkey, incoming[0], incoming[1], incoming[2], seed_i),
-        dimension=0, num_keys=1,
+        dimension=0, num_keys=1, is_stable=False,
     )
     return (
         jnp.stack([i0, i1, i2], axis=1),
