@@ -271,3 +271,45 @@ def test_pallas2_cull_modes_parity(cull):
     hb = mt_intersect_pallas2(tri, ro, rd, interpret=True, cull=cull)
     assert not np.asarray(hb.hit)[park].any()
     assert_hit_parity(ha, hb, min_hits=30)
+
+
+def test_direction_bin_partitions_unit_sphere():
+    """Every direction maps to exactly one of the 96 bins; bins respect
+    the dominant axis half-space (round-4 coherence key component)."""
+    from tpu_pathtracer.ops.trace import _DIR_BINS, _direction_bin
+
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(5000, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    bins = np.asarray(_direction_bin(jnp.asarray(d.T)))
+    assert bins.shape == (5000,)
+    assert bins.min() >= 0 and bins.max() < _DIR_BINS
+    # dominant half-space consistency: half = bin // 16 encodes
+    # (axis, sign) of the largest-|component| axis
+    dom = np.abs(d).argmax(1)
+    sgn = (np.take_along_axis(d, dom[:, None], 1)[:, 0] > 0).astype(int)
+    # exclude near-ties between axes where either choice is valid
+    sorted_abs = np.sort(np.abs(d), axis=1)
+    clear = sorted_abs[:, 2] > sorted_abs[:, 1] * 1.01
+    np.testing.assert_array_equal((bins // 16)[clear],
+                                  (dom * 2 + sgn)[clear])
+
+
+def test_coherence_key_groups_by_live_set():
+    """Inactive rays get the sentinel key; rays that cannot touch any
+    treelet (escapers) share a bin distinct from working rays."""
+    from tpu_pathtracer.ops.trace import _coherence_key
+
+    boxes = jnp.asarray(
+        np.array([[0, 0, 0, 1, 1, 1, 0, 0]], np.float32))  # unit box
+    # ray 0: points at the box; ray 1: points away; ray 2: inactive
+    ro = jnp.asarray(np.array([[-1, .5, .5], [-1, .5, .5], [-1, .5, .5]],
+                              np.float32).T)
+    rd = jnp.asarray(np.array([[1, 0, 0], [-1, 0, 0], [1, 0, 0]],
+                              np.float32).T)
+    active = jnp.asarray([True, True, False])
+    key = np.asarray(_coherence_key(ro, rd, active, boxes))
+    assert key[2] == 2**31 - 1
+    assert key[0] != key[1]
+    # escaper (nearest = Mc sentinel) sorts after the working ray
+    assert key[1] > key[0]
