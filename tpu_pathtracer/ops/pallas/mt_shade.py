@@ -593,28 +593,35 @@ CHUNKS_PER_SUPER = 16  # super-treelet = 2048 triangles
 MT_STREAM2_MAX_TRIS = 262144
 
 
-def _kernel_stream2(phi_ref, cols_hbm, super_boxes_ref, chunk_boxes_ref,
-                    sub_boxes_ref, t_ref, idx_ref, u_ref, v_ref,
-                    sup_cull_ref, buf_ref, sem_ref,
-                    *, chunk, sub, cps, n_supers):
+def _kernel_stream2(count_ref, list_ref, emin_ref, phi_ref, cols_hbm,
+                    chunk_boxes_ref, sub_boxes_ref,
+                    t_ref, idx_ref, u_ref, v_ref, buf_ref, sem_ref,
+                    *, chunk, sub, cps):
     """Streamed two-level-culled MT: the coefficient table stays in HBM
-    ((n_chunks, 4*chunk, 10) blocks); per ray tile a super-treelet slab
-    table (cull granularity: 2048 triangles) gates chunk-level slabs, and
-    only chunks some ray can still hit are DMA'd into VMEM and intersected.
-    The round-2 streamed kernel DMA'd every chunk unconditionally and lost
-    to the gather traversal at 32K+ (docs/DESIGN_NOTES.md); conditional DMA
-    plus sorted-ray tiles turn the stream cost from O(N) into
-    O(live chunks)."""
+    ((n_chunks, 4*chunk, 10) blocks); per ray tile the XLA precull ships a
+    near-to-far SMEM list of live SUPER-treelets (2048-triangle granules),
+    the kernel walks it with a scalar early-break (as `_kernel_nf`), and
+    inside a live super only chunks some ray can still hit are DMA'd into
+    VMEM and intersected.  The round-2 streamed kernel DMA'd every chunk
+    unconditionally and lost to the gather traversal at 32K+
+    (docs/DESIGN_NOTES.md); round 3 added conditional DMA behind in-kernel
+    super guards; round 4 replaces the ~n_supers vector-reduce+cond guards
+    per tile with the precomputed list (the guards cost ~0.3 us each —
+    ~50/tile at 100K triangles)."""
     phi = phi_ref[:]
     tr = phi.shape[1]
+    tile = pl.program_id(0)
 
     ro = phi[1:4, :]
     rd = phi[4:7, :]
     par = jnp.abs(rd) < EPSILON
     inv = jnp.float32(1.0) / jnp.where(par, jnp.float32(1.0), rd)
 
+    parked = (jnp.abs(rd[0:1, :]) + jnp.abs(rd[1:2, :])
+              + jnp.abs(rd[2:3, :])) == 0.0
+
     kzf = phi[0:1, :] * jnp.float32(0.0)
-    t_ref[:] = jnp.full((1, tr), INF, jnp.float32) + kzf
+    t_ref[:] = jnp.where(parked, -INF, INF) + kzf
     idx_ref[:] = jnp.full((1, tr), -1, jnp.int32) + kzf.astype(jnp.int32)
     u_ref[:] = kzf
     v_ref[:] = kzf
@@ -650,31 +657,27 @@ def _kernel_stream2(phi_ref, cols_hbm, super_boxes_ref, chunk_boxes_ref,
 
             jax.lax.cond(live_s, do_sub, lambda: None)
 
-    def super_body(si, carry):
-        entry = sup_cull_ref[pl.ds(si, 1), :]
-        any_live = jnp.sum((entry < t_ref[:]).astype(jnp.int32)) > 0
+    def cond(state):
+        j, tmax = state
+        return (j < count_ref[tile, 0]) & (emin_ref[tile, j] < tmax)
 
-        @pl.when(any_live)
-        def _do():
-            cboxes = chunk_boxes_ref[pl.ds(si * cps, cps), :]
-            centry = _slab_entries(cboxes, ro, rd, par, inv)
-            for j in range(cps):
-                live_c = (
-                    jnp.sum((centry[j : j + 1, :] < t_ref[:]).astype(jnp.int32))
-                    > 0
-                )
-                jax.lax.cond(
-                    live_c, lambda j=j: process_chunk(si * cps + j),
-                    lambda: None,
-                )
-        return carry
+    def body(state):
+        j, tmax = state
+        si = list_ref[tile, j]
+        cboxes = chunk_boxes_ref[pl.ds(si * cps, cps), :]
+        centry = _slab_entries(cboxes, ro, rd, par, inv)
+        for k in range(cps):
+            live_c = (
+                jnp.sum((centry[k : k + 1, :] < t_ref[:]).astype(jnp.int32))
+                > 0
+            )
+            jax.lax.cond(
+                live_c, lambda k=k: process_chunk(si * cps + k),
+                lambda: None,
+            )
+        return j + 1, jnp.max(t_ref[:])
 
-    alive = jnp.sum(jnp.abs(rd)) > 0.0
-
-    @pl.when(alive)
-    def _run():
-        sup_cull_ref[:] = _slab_entries(super_boxes_ref[:], ro, rd, par, inv)
-        jax.lax.fori_loop(0, n_supers, super_body, 0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), INF))
 
 
 def _dead_pad_boxes(boxes, n_real, granule):
@@ -733,6 +736,9 @@ def _mt_intersect_stream2_impl(tri_pos, phi_t, *, interpret: bool,
     n_pad = int(np.ceil(N / sup)) * sup
     n_chunks = n_pad // chunk
     n_supers = n_pad // sup
+    # per-tile live-super lists live in SMEM (~1 MB): cap the tile count
+    while -(-R // tile_rays) > 512:
+        tile_rays *= 2
     r_pad = int(np.ceil(R / tile_rays)) * tile_rays
 
     tri_padded = _pad_to(tri_pos, n_pad, 0)
@@ -752,28 +758,28 @@ def _mt_intersect_stream2_impl(tri_pos, phi_t, *, interpret: bool,
 
     grid = (r_pad // tile_rays,)
     kernel = functools.partial(_kernel_stream2, chunk=chunk, sub=sub,
-                               cps=cps, n_supers=n_supers)
+                               cps=cps)
+    counts, lists, emins = _precull_live_subs(super_boxes, phi_t, tile_rays)
     vma = (getattr(jax.typeof(phi_t), "vma", None)
            if hasattr(jax, "typeof") else None)
     if vma:
         axes = tuple(vma)
         cols_chunks = jax.lax.pcast(cols_chunks, axes, to="varying")
-        super_boxes = jax.lax.pcast(super_boxes, axes, to="varying")
         chunk_boxes = jax.lax.pcast(chunk_boxes, axes, to="varying")
         sub_boxes = jax.lax.pcast(sub_boxes, axes, to="varying")
     sds = (functools.partial(jax.ShapeDtypeStruct, vma=vma)
            if vma else jax.ShapeDtypeStruct)
     row_spec = pl.BlockSpec((1, tile_rays), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     t, idx, u, v = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            smem, smem, smem,
             pl.BlockSpec((10, tile_rays), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # coefficient blocks: HBM
-            pl.BlockSpec((n_supers, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_pad // sub, 8), lambda i: (0, 0),
@@ -787,12 +793,11 @@ def _mt_intersect_stream2_impl(tri_pos, phi_t, *, interpret: bool,
             sds((1, r_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_supers, tile_rays), jnp.float32),
             pltpu.VMEM((1, chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
-    )(phi_t, cols_chunks, super_boxes, chunk_boxes, sub_boxes)
+    )(counts, lists, emins, phi_t, cols_chunks, chunk_boxes, sub_boxes)
 
     t = t[0, :R]
     idx = idx[0, :R]
