@@ -295,6 +295,16 @@ def _kernel_list(count_ref, list_ref, phi_ref, cols_ref,
     jax.lax.fori_loop(0, count_ref[tile, 0], body, 0)
 
 
+def _parked_lanes(rd):
+    """Lanes that must never take a hit: parked rays (rd = 0, set by the
+    trace loop when a ray terminates) and _pad_to padding lanes
+    (rd = 1e30).  Both are excluded from the near-to-far tmax bound via a
+    -INF t init; without the padding test the last partial ray tile kept
+    tmax = INF and degraded to unordered-list behaviour (ADVICE r4)."""
+    return ((jnp.abs(rd[0:1, :]) + jnp.abs(rd[1:2, :])
+             + jnp.abs(rd[2:3, :])) == 0.0) | (jnp.abs(rd[0:1, :]) >= 1e30)
+
+
 def _kernel_nf(count_ref, list_ref, emin_ref, phi_ref, cols_ref,
                t_ref, idx_ref, u_ref, v_ref, *, sub, mxu):
     """Near-to-far list variant: tile-granular front-to-back traversal.
@@ -308,9 +318,10 @@ def _kernel_nf(count_ref, list_ref, emin_ref, phi_ref, cols_ref,
     paying a vector reduce+cond per *candidate*: one max-reduce per
     *evaluated* sub maintains the scalar bound.
 
-    Parked lanes (rd = 0) and padding lanes (phi = 1e30) are excluded from
-    the bound by initializing their t to -INF: they can never take a hit
-    (take needs tmin < t_ref), and a tile of only parked lanes has
+    Parked lanes (rd = 0, set by the trace loop) and padding lanes
+    (phi = 1e30, appended by _pad_to) are excluded from the bound by
+    initializing their t to -INF: they can never take a hit (take needs
+    tmin < t_ref), and a tile of only parked/padding lanes has
     tmax = -INF so the walk breaks immediately.  The caller only reads t
     where idx >= 0, so the -INF sentinel never escapes (Hit.t is INF on
     miss by contract of the caller's jnp.where on idx)."""
@@ -319,8 +330,7 @@ def _kernel_nf(count_ref, list_ref, emin_ref, phi_ref, cols_ref,
     tile = pl.program_id(0)
 
     rd = phi[4:7, :]
-    parked = (jnp.abs(rd[0:1, :]) + jnp.abs(rd[1:2, :])
-              + jnp.abs(rd[2:3, :])) == 0.0
+    parked = _parked_lanes(rd)
 
     kzf = phi[0:1, :] * jnp.float32(0.0)
     t_ref[:] = jnp.where(parked, -INF, INF) + kzf
@@ -329,8 +339,12 @@ def _kernel_nf(count_ref, list_ref, emin_ref, phi_ref, cols_ref,
     v_ref[:] = kzf
 
     def cond(state):
+        # Clamp j for the entry-distance read: `&` does not short-circuit,
+        # so at j == count == Ms the unclamped index would read one row
+        # past the SMEM array (result discarded, but still OOB).
         j, tmax = state
-        return (j < count_ref[tile, 0]) & (emin_ref[tile, j] < tmax)
+        jc = jnp.minimum(j, emin_ref.shape[1] - 1)
+        return (j < count_ref[tile, 0]) & (emin_ref[tile, jc] < tmax)
 
     def body(state):
         j, tmax = state
@@ -352,9 +366,12 @@ def _precull_live_subs(sub_boxes, phi_t, tile_rays: int):
 
     sub_boxes: (Ms, 8); phi_t: (10, R) PADDED to a tile multiple (parked
     lanes have rd = 0 and never hit a box).  Returns (counts (T, 1) i32,
-    lists (T, Ms) i32): lists[t, :counts[t]] are the ascending live sub
-    indices for ray tile t.  Runs as plain XLA (fused VPU work + small
-    sorts) — identical liveness to the cond kernel's INF-best-t guards."""
+    lists (T, Ms) i32, emins (T, Ms) f32): lists[t, :counts[t]] are the
+    live sub indices for ray tile t, ordered by ascending per-tile entry
+    distance (index order only where sort-stability breaks exact-distance
+    ties); emins carries the matching distances for the kernel's scalar
+    early-break.  Runs as plain XLA (fused VPU work + small sorts) —
+    identical liveness to the cond kernel's INF-best-t guards."""
     ms = sub_boxes.shape[0]
     r = phi_t.shape[1]
     ro = phi_t[1:4, :]
@@ -422,10 +439,11 @@ def mt_intersect_pallas2(tri_pos, ro, rd, *, interpret: bool = False,
 
 
 def _cull_mode(override=None) -> str:
-    """Resolve the culling strategy: 'list' (XLA precull -> per-tile live
-    sub lists in SMEM, zero in-kernel conds) or 'cond' (in-kernel
+    """Resolve the culling strategy: 'nf' (XLA precull -> per-tile live
+    sub lists ordered near-to-far in SMEM, scalar early-break), 'list'
+    (same lists, no distance ordering or break) or 'cond' (in-kernel
     two-level slab tests with lax.cond gates).  Override, then the
-    TPT_CULL env var (sweep hook), then 'list' (measured default)."""
+    TPT_CULL env var (sweep hook), then 'nf' (measured default)."""
     import os
 
     value = override if override is not None else os.environ.get(
@@ -617,8 +635,7 @@ def _kernel_stream2(count_ref, list_ref, emin_ref, phi_ref, cols_hbm,
     par = jnp.abs(rd) < EPSILON
     inv = jnp.float32(1.0) / jnp.where(par, jnp.float32(1.0), rd)
 
-    parked = (jnp.abs(rd[0:1, :]) + jnp.abs(rd[1:2, :])
-              + jnp.abs(rd[2:3, :])) == 0.0
+    parked = _parked_lanes(rd)
 
     kzf = phi[0:1, :] * jnp.float32(0.0)
     t_ref[:] = jnp.where(parked, -INF, INF) + kzf
@@ -658,8 +675,10 @@ def _kernel_stream2(count_ref, list_ref, emin_ref, phi_ref, cols_hbm,
             jax.lax.cond(live_s, do_sub, lambda: None)
 
     def cond(state):
+        # Clamped index: see _kernel_nf's cond (`&` does not short-circuit).
         j, tmax = state
-        return (j < count_ref[tile, 0]) & (emin_ref[tile, j] < tmax)
+        jc = jnp.minimum(j, emin_ref.shape[1] - 1)
+        return (j < count_ref[tile, 0]) & (emin_ref[tile, jc] < tmax)
 
     def body(state):
         j, tmax = state

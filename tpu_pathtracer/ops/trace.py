@@ -458,6 +458,10 @@ def _ray_features_t(ro, rd):
 def _gather_rows_t(table, idx):
     """Row gather with transposed output: table (N, C), idx (R,) -> (C, R).
 
+    PRECONDITION: idx must be in [0, N) — the XLA gather clamps
+    out-of-range starts but the one-hot path below yields an all-zero
+    column instead; both call sites clip first, and new callers must too.
+
     The transposed-offset gather measured ~1.8x cheaper than the row-major
     row gather + column slices at 512² (examples/micro_shade.py): the
     output feeds component-major consumers with no layout fixup.
@@ -479,6 +483,10 @@ def _gather_rows_t(table, idx):
 
 def _gather_rows_onehot(table, idx):
     """Exact row gather as three bf16 one-hot matmuls on the MXU.
+
+    Requires in-range idx (see _gather_rows_t): an out-of-range index
+    produces an all-zero one-hot column, not the clamped row XLA's gather
+    would return.
 
     table (N, C) splits exactly into bf16 hi+mid+lo (a 24-bit f32 mantissa
     is three 8-bit bf16 mantissas; verified exact over 9M realistic
@@ -737,8 +745,9 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
             )
             if with_sort:
                 # Bin for the next bounce by predicted intersection work
-                # (_coherence_key); terminated rays sink to the tail
-                # (stable, so ties keep order).
+                # (_coherence_key); terminated rays sink to the tail.  The
+                # sort is unstable (tie order arbitrary) — exactness rests
+                # on the final restore sort keying the unique pixel index.
                 key = _coherence_key(ro, rd, active, key_boxes)
                 pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
                     active, _PIX_ACTIVE_BIT, 0
