@@ -90,57 +90,64 @@ def full_sweep():
         s.set_environment(sky)
         return s
 
+    from tpu_pathtracer.config import PostConfig
+
+    # BASELINE.json configs[0..3], matched to the letter (VERDICT r4 item
+    # 4): envlit renders true 1920x1080 with the denoise+tonemap pass
+    # INSIDE the timed frame (the reference draws the fullscreen pass every
+    # frame, renderer.ts:387); cornell additionally records the 64-spp
+    # fixed-seed correctness run below.
     configs = [
-        ("cornell_256", pt.default_scene(sky), cam, 256, 1, 4),
-        ("mesh1K_dof_512", mesh_scene(32), dof_cam, 512, 1, 4),
-        ("envlit_1080p", mesh_scene(32), cam, 1024, 1, 4),
-        ("stress100K_512", mesh_scene(320), cam, 512, 1, 6),
+        ("cornell_256", pt.default_scene(sky), cam, 256, 256, 1, 4, None),
+        ("mesh1K_dof_512", mesh_scene(32), dof_cam, 512, 512, 1, 4, None),
+        ("envlit_1080p", mesh_scene(32), cam, 1920, 1080, 1, 4,
+         PostConfig(denoise=True)),
+        ("stress100K_512", mesh_scene(320), cam, 512, 512, 1, 6, None),
     ]
     sweep = {}
-    for name, scene, c, size, spp, bounces in configs:
+    for name, scene, c, w, h, spp, bounces, post in configs:
         data = jax.device_put(scene.compile())
-        res = bench_config(data, c, width=size, height=size, spp=spp,
-                           bounces=bounces, reps=3, log=log)
-        mpaths = size * size * spp / res.per_frame_s / 1e6
+        res = bench_config(data, c, width=w, height=h, spp=spp,
+                           bounces=bounces, aspect=w / h, reps=3, post=post,
+                           log=log)
+        mpaths = w * h * spp / res.per_frame_s / 1e6
         log(f"{name}: {res.rays_per_s:.3e} rays/s  {mpaths:.1f} Mpaths/s  "
             f"ok={res.ok} {res.reasons}")
         sweep[name] = {
             "rays_per_s": res.rays_per_s,
             "per_frame_ms": res.per_frame_s * 1e3,
-            "paths_per_s": size * size * spp / res.per_frame_s,
+            "paths_per_s": w * h * spp / res.per_frame_s,
             "linearity": res.linearity,
             "ok": res.ok,
         }
+        if post is not None:
+            sweep[name]["post_in_frame"] = "denoise+aces @ 1920x1080"
+
+    # BASELINE configs[0] to the letter: 256^2, 4 bounces, 64 spp, fixed
+    # seed — the CPU-runnable correctness config, run once end-to-end on
+    # this backend and recorded as (total time, image stats).
+    from tpu_pathtracer.render.benchmark import make_budget
+    from tpu_pathtracer.scene.types import RenderParams
+
+    data = jax.device_put(pt.default_scene(sky).compile())
+    budget64 = make_budget(256, 256, 1, 4, 1.0)
+    params = RenderParams.create(cam, frame=1)
+    img = np.asarray(budget64(data, params, 64))  # warm (same cached program)
+    t0 = time.perf_counter()
+    img = np.asarray(budget64(data, params, 64))
+    t64 = time.perf_counter() - t0
+    sweep["cornell_256_64spp_fixedseed"] = {
+        "total_s": t64,
+        "rays_per_s": 256 * 256 * 64 * 4 / t64,
+        "mean_rgb": [float(m) for m in img.mean(axis=(0, 1))],
+        "finite": bool(np.isfinite(img).all()),
+    }
+    log(f"cornell_256 64spp fixed-seed: {t64:.2f}s total, "
+        f"mean_rgb={sweep['cornell_256_64spp_fixedseed']['mean_rgb']}")
+
     with open("BENCH_SWEEP.json", "w") as f:
         json.dump(sweep, f, indent=1)
     log("sweep recorded to BENCH_SWEEP.json")
-
-    # denoise+tonemap post at 1080p (fullscreen-pass equivalent), slope-timed
-    import jax.numpy as jnp
-
-    from tpu_pathtracer.config import PostConfig
-    from tpu_pathtracer.post import postprocess
-
-    img = jnp.asarray(np.random.default_rng(0).random((1080, 1920, 3)),
-                      jnp.float32)
-    post = PostConfig(denoise=True)
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=(1,))
-    def post_n(img, n):
-        def body(i, x):
-            return postprocess(x * (1.0 / (1.0 + i)), post)
-        return jax.lax.fori_loop(0, n, body, img)
-
-    def timed(n):
-        np.asarray(post_n(img, n))
-        t0 = time.perf_counter()
-        np.asarray(post_n(img, n))
-        return time.perf_counter() - t0
-
-    t8, t16 = timed(8), timed(16)
-    log(f"post_1080p (denoise+aces): {(t16-t8)/8*1e3:.2f} ms/frame (slope; T8={t8:.2f}s T16={t16:.2f}s)")
 
     # mesh-size scaling table (VERDICT r1 item 4): per-device step time at
     # tiles=1,2,4,8 over however many devices this run has
@@ -177,6 +184,23 @@ def main() -> None:
 
     paths_per_s = 512 * 512 * 1 / res.per_frame_s
     rec = headline_record(res, backend, paths_per_s)
+    # Device-time persistence (VERDICT r4 item 3): a successful profiler
+    # cross-check is recorded to BENCH_DEVTIME.json; if a later run's
+    # deadline kills the cross-check, the headline JSON still carries the
+    # most recent builder-run device time, labeled as such.
+    if res.device_per_frame_s is not None:
+        with open("BENCH_DEVTIME.json", "w") as f:
+            json.dump({"device_per_frame_ms": res.device_per_frame_s * 1e3,
+                       "backend": backend,
+                       "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                    time.gmtime())}, f)
+    elif os.path.exists("BENCH_DEVTIME.json"):
+        with open("BENCH_DEVTIME.json") as f:
+            prev = json.load(f)
+        rec["device_per_frame_ms"] = prev["device_per_frame_ms"]
+        rec["device_ms_source"] = (
+            f"builder-run, cached {prev['recorded_at']} (profiler "
+            "cross-check skipped this run)")
     if os.path.exists("BENCH_SWEEP.json"):
         # attach the most recent config sweep (written by `bench.py --full`)
         with open("BENCH_SWEEP.json") as f:
