@@ -83,12 +83,163 @@ def test_wide_index_paths():
     assert np.array_equal(dec["attributes"][0]["values"], pos)
 
 
-def test_edgebreaker_stream_raises_clear_error():
+def test_misdeclared_method_byte_rejected_cleanly():
+    # flipping a sequential stream's method byte to edgebreaker must yield
+    # a clean DracoError from the edgebreaker parser, never a crash
     pos, nrm, idx = _mesh()
     blob = bytearray(draco.encode(pos, idx, nrm))
     blob[8] = 1  # encoder_method -> MESH_EDGEBREAKER_ENCODING
-    with pytest.raises(draco.DracoError, match="EDGEBREAKER"):
+    with pytest.raises(draco.DracoError):
         draco.decode(bytes(blob))
+
+
+# --- edgebreaker (CLERS) connectivity + rANS values ------------------------
+#
+# Validation strategy (reference decoder unrunnable offline — see
+# csrc/draco_codec.cpp header): encode/decode round-trips on
+# topology-stressing closed meshes, structural invariants, and fuzzing.
+
+def _canon_faces(pos, idx, digits=4):
+    faces = set()
+    for tri in np.asarray(idx).reshape(-1, 3):
+        vs = [tuple(np.round(np.asarray(pos)[v], digits)) for v in tri]
+        k = min(range(3), key=lambda i: vs[i])
+        faces.add(tuple(vs[k:] + vs[:k]))
+    return faces
+
+
+def _tetra():
+    p = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    i = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], np.uint32)
+    return p, i
+
+
+def _octa():
+    p = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float32)
+    i = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.uint32)
+    return p, i
+
+
+def _subdivided_sphere(levels=3):
+    p, i = _octa()
+    p = p.astype(np.float64)
+    for _ in range(levels):
+        pos = list(map(tuple, p))
+        cache = {}
+
+        def mid(a, b):
+            k = (min(a, b), max(a, b))
+            if k not in cache:
+                m = (np.array(pos[a]) + np.array(pos[b])) / 2
+                m = m / np.linalg.norm(m)
+                cache[k] = len(pos)
+                pos.append(tuple(m))
+            return cache[k]
+
+        out = []
+        for a, b, c in i:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            out += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        p = np.array(pos)
+        i = np.array(out, np.uint32)
+    return p.astype(np.float32), i
+
+
+@pytest.mark.parametrize("mesh_fn", [_tetra, _octa,
+                                     lambda: _subdivided_sphere(2),
+                                     lambda: _subdivided_sphere(3)])
+def test_edgebreaker_roundtrip_closed_meshes(mesh_fn):
+    pos, idx = mesh_fn()
+    blob = draco.encode(pos, idx, position_bits=0, method="edgebreaker")
+    assert blob[8] == 1, "closed manifold mesh should take the CLERS path"
+    dec = draco.decode(blob)
+    dpos = dec["attributes"][0]["values"]
+    # geometry identical as an oriented face set (vertex/face order is
+    # permuted by the CLERS machine's decode numbering)
+    assert _canon_faces(pos, idx) == _canon_faces(dpos, dec["indices"])
+    # structural invariants: closed 2-manifold, genus 0 per component
+    assert dec["num_points"] == pos.shape[0]
+    V, F = dec["num_points"], len(dec["indices"])
+    assert V - (3 * F // 2) + F == 2  # Euler characteristic (1 component)
+
+
+def test_edgebreaker_multi_component():
+    p1, i1 = _tetra()
+    p2, i2 = _octa()
+    pos = np.concatenate([p1, p2 + np.float32([5, 0, 0])])
+    idx = np.concatenate([i1, i2 + 4])
+    blob = draco.encode(pos, idx, position_bits=0, method="edgebreaker")
+    assert blob[8] == 1
+    dec = draco.decode(blob)
+    assert _canon_faces(pos, idx) == _canon_faces(
+        dec["attributes"][0]["values"], dec["indices"])
+
+
+def test_edgebreaker_with_normals_and_quantization():
+    pos, idx = _subdivided_sphere(2)
+    nrm = pos / np.linalg.norm(pos, axis=1, keepdims=True)
+    blob = draco.encode(pos, idx, nrm, position_bits=14, normal_bits=10,
+                        method="edgebreaker")
+    assert blob[8] == 1
+    dec = draco.decode(blob)
+    # quantized: compare coarse canonical face sets (14-bit error ~1e-4)
+    assert _canon_faces(np.round(pos, 2), idx, 2) == _canon_faces(
+        np.round(dec["attributes"][0]["values"], 2), dec["indices"], 2)
+
+
+def test_edgebreaker_falls_back_on_open_or_nonmanifold():
+    # open plane: boundary edges -> sequential
+    pp = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    pi = np.array([[0, 1, 2], [2, 1, 3]], np.uint32)
+    blob = draco.encode(pp, pi, position_bits=0, method="edgebreaker")
+    assert blob[8] == 0
+    dec = draco.decode(blob)
+    assert _canon_faces(pp, pi) == _canon_faces(
+        dec["attributes"][0]["values"], dec["indices"])
+    # duplicated directed edge (non-manifold) -> sequential, still decodes
+    p, i = _tetra()
+    i2 = np.concatenate([i, i[:1]])
+    blob = draco.encode(p, i2, position_bits=0, method="edgebreaker")
+    assert blob[8] == 0
+
+
+def test_rans_values_roundtrip_and_compression():
+    pos, idx = _subdivided_sphere(3)
+    raw = draco.encode(pos, idx, position_bits=14, method="edgebreaker")
+    rans = draco.encode(pos, idx, position_bits=14, method="edgebreaker",
+                        rans=True)
+    assert len(rans) < len(raw)  # entropy coding must actually compress
+    d1 = draco.decode(raw)
+    d2 = draco.decode(rans)
+    # identical dequantized values regardless of the value coding
+    np.testing.assert_array_equal(d1["attributes"][0]["values"],
+                                  d2["attributes"][0]["values"])
+    np.testing.assert_array_equal(d1["indices"], d2["indices"])
+
+
+def test_edgebreaker_fuzz_never_crashes():
+    # truncations and bit flips of a valid CLERS+rANS stream must either
+    # decode or raise DracoError — never crash or hang
+    pos, idx = _subdivided_sphere(2)
+    blob = draco.encode(pos, idx, position_bits=12, method="edgebreaker",
+                        rans=True)
+    assert blob[8] == 1
+    rng = np.random.default_rng(0)
+    for cut in [9, 12, 15, len(blob) // 3, len(blob) // 2, len(blob) - 2]:
+        with pytest.raises(draco.DracoError):
+            draco.decode(blob[:cut])
+    for _ in range(200):
+        b = bytearray(blob)
+        for _ in range(rng.integers(1, 8)):
+            b[rng.integers(9, len(b))] ^= 1 << rng.integers(0, 8)
+        try:
+            out = draco.decode(bytes(b))
+            # decoded despite corruption: indices must still be in range
+            assert np.all(np.asarray(out["indices"]) < out["num_points"])
+        except draco.DracoError:
+            pass
 
 
 def test_truncated_stream_raises():

@@ -3,13 +3,17 @@
 The reference decodes KHR_draco_mesh_compression glTF primitives with a
 vendored Google WASM decoder (reference: public/static/draco/,
 src/main.ts:258-260).  Ours is a from-scratch C++ implementation of the
-Draco 2.2 bitstream's MESH_SEQUENTIAL_ENCODING method (csrc/draco_codec.cpp)
-— decode *and* encode, so `io.gltf.save_glb(..., draco=True)` emits
-compressed GLBs that round-trip through `load_gltf`.
+Draco 2.2 bitstream (csrc/draco_codec.cpp) — decode *and* encode, so
+`io.gltf.save_glb(..., draco=True)` emits compressed GLBs that round-trip
+through `load_gltf`.
 
-Supported subset: sequential method, uncompressed connectivity, raw-float or
-quantized-integer attributes (PREDICTION_NONE).  Edgebreaker / rANS streams
-raise DracoError with a clear message.
+Supported subset: the sequential method (uncompressed connectivity) and the
+edgebreaker method (standard CLERS traversal; the encoder applies it to
+closed 2-manifold genus-0 meshes and falls back to sequential otherwise);
+raw-float or quantized-integer attributes (PREDICTION_NONE), values
+raw-width or rANS-entropy-coded.  Valence-coded edgebreaker streams raise
+DracoError with a clear message.  See csrc/draco_codec.cpp's header for
+the offline-conformance caveat.
 """
 
 from __future__ import annotations
@@ -122,6 +126,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tpu_pt_draco_encode.argtypes = [
             f32p, ctypes.c_void_p, i64, u32p, i64, i64, i64, u8p, i64,
         ]
+        lib.tpu_pt_draco_encode2.restype = i64
+        lib.tpu_pt_draco_encode2.argtypes = [
+            f32p, ctypes.c_void_p, i64, u32p, i64, i64, i64, i64, i64,
+            u8p, i64,
+        ]
         _lib = lib
         return _lib
 
@@ -202,13 +211,24 @@ def encode(
     *,
     position_bits: int = 14,
     normal_bits: int = 10,
+    method: str = "sequential",
+    rans: bool = False,
 ) -> bytes:
-    """Encode a triangle mesh to a Draco sequential stream.
+    """Encode a triangle mesh to a Draco stream.
 
     position_bits/normal_bits: quantization bit depth (0 = lossless raw
     float32).  Attribute unique ids: POSITION=0, NORMAL=1 (used by the glTF
     KHR_draco_mesh_compression attribute map).
+
+    method: 'sequential' or 'edgebreaker'.  The edgebreaker path (CLERS
+    connectivity, csrc/draco_codec.cpp) applies to closed 2-manifold
+    genus-0 meshes with every vertex referenced, silently falling back to
+    sequential otherwise — byte 8 of the returned stream names the method
+    actually used.  rans=True entropy-codes quantized attribute values with
+    the rANS coder (requires position_bits/normal_bits > 0 to compress).
     """
+    if method not in ("sequential", "edgebreaker"):
+        raise DracoError(f"unknown encode method {method!r}")
     lib = _require_lib()
     pos = np.ascontiguousarray(positions, np.float32)
     idx = np.ascontiguousarray(np.asarray(indices).reshape(-1, 3), np.uint32)
@@ -222,19 +242,22 @@ def encode(
             raise DracoError("normals must match positions shape")
         nrm_ptr = nrm.ctypes.data_as(ctypes.c_void_p)
     n, f = pos.shape[0], idx.shape[0]
+    m = np.int64(1 if method == "edgebreaker" else 0)
+    rv = np.int64(1 if rans else 0)
     cap = 64 + 12 * 4 * n + 16 * f + 256
     out = np.empty(cap, np.uint8)
-    size = lib.tpu_pt_draco_encode(
+    size = lib.tpu_pt_draco_encode2(
         pos, nrm_ptr, np.int64(n), idx.reshape(-1), np.int64(f),
-        np.int64(position_bits), np.int64(normal_bits), out, np.int64(cap),
+        np.int64(position_bits), np.int64(normal_bits), m, rv, out,
+        np.int64(cap),
     )
     if size < 0:
         raise DracoError(_err(lib))
     if size > cap:  # retry with exact size
         out = np.empty(int(size), np.uint8)
-        size = lib.tpu_pt_draco_encode(
+        size = lib.tpu_pt_draco_encode2(
             pos, nrm_ptr, np.int64(n), idx.reshape(-1), np.int64(f),
-            np.int64(position_bits), np.int64(normal_bits), out,
+            np.int64(position_bits), np.int64(normal_bits), m, rv, out,
             np.int64(size),
         )
         if size < 0:

@@ -363,7 +363,42 @@ def bounce_shade(scene, params, hit, carry, *, env_importance: bool = False,
     return ro, rd, incoming, color, seed, active
 
 
-def _sort_ray_state(key, ro, rd, color, incoming, seed, pixact):
+def _sort_window(override=None) -> int:
+    """Window length for the per-bounce binning sort: 0 = one global sort
+    over all R rays; W > 0 = independent sorts over consecutive W-ray
+    windows (lax.sort over axis 1 of an (R/W, W) reshape — a length-W
+    network vectorized over R/W rows instead of a length-R network).
+
+    Correctness is window-size-independent: ANY permutation of rays gives
+    the same image (per-ray math is order-free; the final restore keys on
+    the unique pixel index), and when every binning sort uses the same
+    windows, rays never leave their window, so the restore sort is
+    windowed identically.  The trade is grouping quality: tiles can only
+    share work within a window.  Resolution: override
+    (RenderConfig.sort_window), then the TPT_SORT_WINDOW env var (sweep
+    hook, read at trace time), then the measured default."""
+    import os
+
+    if override is not None:
+        return int(override)
+    return int(os.environ.get("TPT_SORT_WINDOW", "0"))
+
+
+def _windowed_sort(operands, window: int, num_keys: int = 1):
+    """lax.sort over independent consecutive windows (see _sort_window).
+    Falls back to one global sort when window doesn't cleanly apply."""
+    r = operands[0].shape[0]
+    if window <= 0 or r % window or window >= r:
+        return jax.lax.sort(operands, dimension=0, num_keys=num_keys,
+                            is_stable=False)
+    ops2 = tuple(o.reshape(r // window, window) for o in operands)
+    out = jax.lax.sort(ops2, dimension=1, num_keys=num_keys,
+                       is_stable=False)
+    return tuple(o.reshape(r) for o in out)
+
+
+def _sort_ray_state(key, ro, rd, color, incoming, seed, pixact,
+                    window: int = 0):
     """Sort the component-major per-ray bounce state by `key` (i32).
 
     ro/rd/color/incoming are (3, R); each component row is a contiguous
@@ -387,11 +422,11 @@ def _sort_ray_state(key, ro, rd, color, incoming, seed, pixact):
     sorts are deterministic networks, so renders stay reproducible."""
     seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
     (_, ro0, ro1, ro2, rd0, rd1, rd2, c0, c1, c2, i0, i1, i2, seed_i,
-     pixact) = jax.lax.sort(
+     pixact) = _windowed_sort(
         (key, ro[0], ro[1], ro[2], rd[0], rd[1], rd[2],
          color[0], color[1], color[2], incoming[0], incoming[1], incoming[2],
          seed_i, pixact),
-        dimension=0, num_keys=1, is_stable=False,
+        window,
     )
     return (
         jnp.stack([ro0, ro1, ro2], axis=0),
@@ -667,7 +702,8 @@ def _coherence_key(ro, rd, active, boxes):
 
 def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
                      intersector_phi_fn, shade_mat=None, env_patches=None,
-                     sort_bounces=None, env_importance: bool = False):
+                     sort_bounces=None, sort_window=None,
+                     env_importance: bool = False):
     """Sorted fused trace loop: the round-3 TPU fast path.
 
     Same per-ray math and RNG streams as `trace_rays` — integer RNG
@@ -753,7 +789,8 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
                     active, _PIX_ACTIVE_BIT, 0
                 )
                 ro, rd, color, incoming, seed, pixact = _sort_ray_state(
-                    key, ro, rd, color, incoming, seed, pixact
+                    key, ro, rd, color, incoming, seed, pixact,
+                    window=swin,
                 )
             else:
                 pixact = (pixact & (_PIX_ACTIVE_BIT - 1)) | jnp.where(
@@ -782,6 +819,7 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
     # branch copied the whole 15-column carry every bounce (measured
     # 2.9 ms/frame).  Both loops keep the all-rays-terminated early exit.
     n_sort = min(int(_sort_bounces(sort_bounces)), max_bounces)
+    swin = _sort_window(sort_window)
     state = (jnp.int32(0), init)
     if n_sort:
         state = jax.lax.while_loop(
@@ -823,11 +861,14 @@ def trace_rays_fused(scene, params, ro, rd, seed, *, max_bounces: int,
 
     # Restore the caller's ray order (one 5-operand sort by pixel index;
     # keys are unique, so an unstable sort is exact and compiles faster).
+    # Windowed binning sorts never move a ray out of its window and the
+    # initial order is the iota, so window w holds exactly pixel indices
+    # [w*W, (w+1)*W) and the restore sorts the same windows.
     pixkey = pixact & (_PIX_ACTIVE_BIT - 1)
     seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
-    _, i0, i1, i2, seed_i = jax.lax.sort(
+    _, i0, i1, i2, seed_i = _windowed_sort(
         (pixkey, incoming[0], incoming[1], incoming[2], seed_i),
-        dimension=0, num_keys=1, is_stable=False,
+        swin if n_sort else 0,
     )
     return (
         jnp.stack([i0, i1, i2], axis=1),
@@ -901,6 +942,7 @@ def render_frame(
     full_height: int | None = None,
     seed_salt=None,
     sort_bounces: int | None = None,
+    sort_window: int | None = None,
     tile_rays: int | None = None,
 ):
     """Render one progressive frame at (height, width); returns (H, W, 3) f32.
@@ -1016,6 +1058,7 @@ def render_frame(
                 scene, params, o, d, seed, max_bounces=max_bounces,
                 intersector_phi_fn=intersector_phi_fn, shade_mat=shade_mat,
                 env_patches=env_patches, sort_bounces=sort_bounces,
+                sort_window=sort_window,
                 env_importance=env_importance,
             )
         else:
