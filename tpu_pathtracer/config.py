@@ -58,9 +58,12 @@ class RenderConfig:
     # renderer's step cache key and force a correct retrace).
     # sort_bounces: how many leading bounces re-bin the ray state
     # (ops/trace._sort_bounces); tile_rays: Pallas kernel ray-tile width,
-    # positive multiple of 128 (ops/pallas/mt_shade._tile_rays).
+    # positive multiple of 128 (ops/pallas/mt_shade._tile_rays);
+    # sort_window: binning-sort window length, 0 = one global sort
+    # (ops/trace._sort_window).
     sort_bounces: int | None = None
     tile_rays: int | None = None
+    sort_window: int | None = None
 
     @property
     def scaled_width(self) -> int:

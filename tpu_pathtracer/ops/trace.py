@@ -376,12 +376,15 @@ def _sort_window(override=None) -> int:
     windowed identically.  The trade is grouping quality: tiles can only
     share work within a window.  Resolution: override
     (RenderConfig.sort_window), then the TPT_SORT_WINDOW env var (sweep
-    hook, read at trace time), then the measured default."""
+    hook, read at trace time), then the measured default 32768 (round-5
+    headline sweep: global 10.98, 16384 11.03, 32768 10.84, 65536
+    13.35 ms/frame; renders with R <= window fall back to the global
+    sort in _windowed_sort, so small images are unaffected)."""
     import os
 
     if override is not None:
         return int(override)
-    return int(os.environ.get("TPT_SORT_WINDOW", "0"))
+    return int(os.environ.get("TPT_SORT_WINDOW", "32768"))
 
 
 def _windowed_sort(operands, window: int, num_keys: int = 1):

@@ -50,7 +50,7 @@ _jit_postprocess = jax.jit(postprocess, static_argnums=(1, 2, 3))
 def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: int,
                     max_bounces: int, accumulate: bool, env_importance: bool = False,
                     intersector: str = "auto", blue_noise=None,
-                    sort_bounces=None, tile_rays=None):
+                    sort_bounces=None, tile_rays=None, sort_window=None):
     """Build the fused jitted progressive step:
     raytrace one frame + fold it into the accumulation buffer (donated)."""
 
@@ -67,6 +67,7 @@ def make_frame_step(width: int, height: int, aspect: float, samples_per_frame: i
             intersector=intersector,
             blue_noise=blue_noise,
             sort_bounces=sort_bounces,
+            sort_window=sort_window,
             tile_rays=tile_rays,
         )
         return accumulate_op(acc, frame_img, params.frame, enabled=accumulate)
@@ -148,6 +149,7 @@ class Renderer:
             c.samples_per_frame, c.max_bounces, c.accumulate, c.intersector,
             getattr(c, "blue_noise", False), self.env_importance,
             getattr(c, "sort_bounces", None), getattr(c, "tile_rays", None),
+            getattr(c, "sort_window", None),
         )
         cached = self._step_cache.get(key)
         if cached is not None:
@@ -187,6 +189,7 @@ class Renderer:
                 intersector=c.intersector,
                 blue_noise=bn,
                 sort_bounces=getattr(c, "sort_bounces", None),
+                sort_window=getattr(c, "sort_window", None),
                 tile_rays=getattr(c, "tile_rays", None),
             )
         # Separately-jitted per-pass programs for enable_timing: the timed
@@ -223,6 +226,7 @@ class Renderer:
                     intersector=c.intersector,
                     blue_noise=bn,
                     sort_bounces=getattr(c, "sort_bounces", None),
+                    sort_window=getattr(c, "sort_window", None),
                     tile_rays=getattr(c, "tile_rays", None),
                 )
 
