@@ -389,9 +389,13 @@ def _sort_window(override=None) -> int:
 
 def _windowed_sort(operands, window: int, num_keys: int = 1):
     """lax.sort over independent consecutive windows (see _sort_window).
-    Falls back to one global sort when window doesn't cleanly apply."""
+    Falls back to one global sort when window doesn't cleanly apply, or
+    when there would be fewer than 8 windows: the (rows, W) lowering needs
+    enough rows to batch — measured at W=32768, (8, W) beats the global
+    sort (10.84 vs 10.98 ms headline) but (2, W) at 256² is ~3.5x WORSE
+    than global (1.78 vs ~0.5 ms), so small renders keep the 1-D sort."""
     r = operands[0].shape[0]
-    if window <= 0 or r % window or window >= r:
+    if window <= 0 or r % window or r // window < 8:
         return jax.lax.sort(operands, dimension=0, num_keys=num_keys,
                             is_stable=False)
     ops2 = tuple(o.reshape(r // window, window) for o in operands)

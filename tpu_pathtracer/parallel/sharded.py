@@ -201,8 +201,17 @@ def make_sharded_render_all(
     intersector: str = "auto",
     blue_noise=None,
 ):
-    """Whole progressive render as one jitted lax.fori_loop over frames —
-    the multi-chip batch path (no host round-trip per frame)."""
+    """Whole progressive render as ONE jitted lax.fori_loop over frames —
+    the multi-chip batch path (no host round-trip per frame).
+
+    ``render_all(scene, params0, n_frames=frames)``: the frame count is a
+    TRACED dynamic loop bound, so one compiled program serves every frame
+    count.  Round 4's "sharded program compiles >20 min" was mostly this
+    function being rebuilt per frame count by the scaling benchmark (four
+    static whole-budget compiles per config — the same bug the unsharded
+    bench fixed in round 3); the sharded FRAME STEP itself compiles and
+    runs op-for-op identically to the unsharded one at tiles=1
+    (examples/profile_sharded.py, docs/DESIGN_NOTES.md round 5)."""
     step = make_sharded_frame_step(
         mesh,
         width=width,
@@ -215,16 +224,25 @@ def make_sharded_render_all(
         intersector=intersector,
         blue_noise=blue_noise,
     )
+    sharding = acc_sharding(mesh)
 
-    def render_all(scene, params0):
+    @jax.jit
+    def render_n(scene, params0, n_frames):
         import dataclasses
 
-        acc = zeros_acc(mesh, height, width)
+        acc = jax.lax.with_sharding_constraint(
+            jnp.zeros((height, width, 3), jnp.float32), sharding
+        )
 
         def body(f, acc):
             p = dataclasses.replace(params0, frame=(f + 1).astype(jnp.uint32))
             return step(scene, p, acc)
 
-        return jax.lax.fori_loop(0, frames, body, acc)
+        return jax.lax.fori_loop(
+            0, jnp.asarray(n_frames, jnp.int32), body, acc
+        )
+
+    def render_all(scene, params0, n_frames=None):
+        return render_n(scene, params0, frames if n_frames is None else n_frames)
 
     return render_all

@@ -371,15 +371,16 @@ def bench_scaling(
         mesh = make_mesh(tiles=tiles, samples=1)
         scene_t = jax.device_put(scene_data)
 
-        cache = {}
+        # ONE dynamic-bound program per tile count (render_all takes the
+        # frame count as a traced fori_loop bound) — the per-frame-count
+        # rebuild here was most of round 4's ">20 min sharded compile".
+        render_all = sharded.make_sharded_render_all(
+            mesh, width=width, height=height, aspect=width / height,
+            samples_per_frame=spp, max_bounces=bounces,
+        )
 
-        def budget(scene, params, n, _mesh=mesh, _cache=cache):
-            if n not in _cache:
-                _cache[n] = sharded.make_sharded_render_all(
-                    _mesh, width=width, height=height, aspect=width / height,
-                    frames=n, samples_per_frame=spp, max_bounces=bounces,
-                )
-            return _cache[n](scene, params)
+        def budget(scene, params, n, _render=render_all):
+            return _render(scene, params, n)
 
         res = measure_budget(
             budget, scene_t, cam, width=width, height=height, spp=spp,
