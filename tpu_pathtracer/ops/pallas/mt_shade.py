@@ -397,14 +397,21 @@ MT_SHADE_MAX_TRIS = 8192
 
 def _mxu_dets(override=None) -> bool:
     """Resolve the MXU-determinant toggle: explicit override, then the
-    TPT_MXU_DETS env var (sweep hook, read at trace time), then True (the
-    measured default on-chip; the VPU term loop stays available for
-    comparison sweeps and is numerically identical in interpret mode)."""
+    TPT_MXU_DETS env var (sweep hook, read at trace time), then False.
+
+    The round-5 in-frame sweep settled this: the VPU 19-term loop beats
+    the (4·sub, 10) @ (10, TR) matmul by 0.8 ms/frame on the headline
+    shape (TPT_MXU_DETS=0 → 10.03, 1 → 10.84 ms device) — K = 10 of 128
+    wastes the systolic array and f32-faithful precision multiplies the
+    passes.  K is the MT feature dimension, so it cannot grow without
+    reformulating the intersection math; batching more sub-treelets per
+    issue raises M (already 128), not K (docs/DESIGN_NOTES.md round 5).
+    The matmul variant stays sweepable and is numerically identical."""
     import os
 
     if override is not None:
         return bool(override)
-    return os.environ.get("TPT_MXU_DETS", "1") not in ("0", "false", "")
+    return os.environ.get("TPT_MXU_DETS", "0") not in ("0", "false", "")
 
 
 def _pack_subblock_major(cols, sub: int):
