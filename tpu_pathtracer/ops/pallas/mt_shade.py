@@ -462,13 +462,20 @@ def _cull_mode(override=None) -> str:
 
 
 def _sub_tris(override=None) -> int:
-    """Resolve the sub-treelet granule: override, then TPT_SUB env var
-    (sweep hook), then SUB_TRIS.  Must be a positive multiple of 8 that
-    divides CHUNK_TRIS."""
+    """Resolve the VMEM (nf/list/cond) kernel's sub-treelet granule:
+    override, then TPT_SUB env var (sweep hook), then 64.  Must be a
+    positive multiple of 8 that divides CHUNK_TRIS.
+
+    Round-5 headline sweep with the VPU determinant default (ms/frame
+    device): 16 → 10.99, 32 → 10.03, **64 → 9.78**, 128 → 10.31 — the
+    coarser granule amortizes the per-sub loop overhead better than the
+    finer culling saves, up to 64.  The HBM-streamed kernel keeps its own
+    granule (SUB_TRIS, hardcoded in _mt_intersect_stream2_impl) — this
+    default was swept on the VMEM kernel only."""
     import os
 
     value = int(override if override is not None
-                else os.environ.get("TPT_SUB", str(SUB_TRIS)))
+                else os.environ.get("TPT_SUB", "64"))
     if value <= 0 or value % 8 or CHUNK_TRIS % value:
         raise ValueError(
             f"sub must be a positive multiple of 8 dividing {CHUNK_TRIS}, "
