@@ -313,3 +313,53 @@ def test_coherence_key_groups_by_live_set():
     assert key[0] != key[1]
     # escaper (nearest = Mc sentinel) sorts after the working ray
     assert key[1] > key[0]
+
+
+def test_windowed_sort_matches_global_render():
+    """sort_window must not change the image at all: per-ray math is
+    order-free and the unique-pixel restore puts every ray back
+    (ops/trace._sort_window) — bit-identical across window sizes."""
+    import jax
+    import numpy as np
+
+    import tpu_pathtracer as pt
+    from tpu_pathtracer.ops.trace import render_frame
+    from tpu_pathtracer.scene.envmap import gradient_sky
+    from tpu_pathtracer.scene.types import Camera, RenderParams
+
+    scene = pt.default_scene(gradient_sky(16, 32)).compile()
+    cam = Camera.create(position=(0, 1, 4), look_at=(0, 0.5, 0), fov=45)
+    params = RenderParams.create(cam, frame=1)
+    kw = dict(width=64, height=64, aspect=1.0, samples_per_frame=1,
+              max_bounces=3)
+    base = np.asarray(render_frame(scene, params, sort_window=0, **kw))
+    for w in (256, 512):
+        img = np.asarray(render_frame(scene, params, sort_window=w, **kw))
+        np.testing.assert_array_equal(img, base)
+
+
+def test_windowed_sort_helper_semantics():
+    """_windowed_sort sorts each consecutive window independently and
+    falls back to a global sort when fewer than 8 windows exist."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_pathtracer.ops.trace import _windowed_sort
+
+    rng = np.random.default_rng(0)
+    r, w = 8 * 16, 16
+    key = jnp.asarray(rng.integers(0, 50, r), jnp.int32)
+    pay = jnp.asarray(rng.random(r), jnp.float32)
+    ks, ps = _windowed_sort((key, pay), w)
+    kn, pn = np.asarray(ks), np.asarray(ps)
+    for b in range(r // w):
+        sl = slice(b * w, (b + 1) * w)
+        assert (np.diff(kn[sl]) >= 0).all()
+        # same multiset of (key, payload) pairs within the window
+        got = sorted(zip(kn[sl].tolist(), pn[sl].tolist()))
+        want = sorted(zip(np.asarray(key)[sl].tolist(),
+                          np.asarray(pay)[sl].tolist()))
+        assert got == want
+    # < 8 windows -> one global sort
+    ks2, _ = _windowed_sort((key, pay), r // 4)
+    assert (np.diff(np.asarray(ks2)) >= 0).all()
