@@ -55,10 +55,11 @@ def slope(f, n1=20, n2=40):
 
 
 def variant_a(key, ro, rd, color, inc, seed, pixact):
-    ro, rd, color, inc, seed, pixact = _sort_ray_state(
-        key, ro, rd, color, inc, seed, pixact
+    # shipped path (component-major (3, R) state since round 4)
+    ro_t, rd_t, c_t, i_t, seed, pixact = _sort_ray_state(
+        key, ro.T, rd.T, color.T, inc.T, seed, pixact
     )
-    return (key, ro, rd, color, inc, seed, pixact)
+    return (key, ro_t.T, rd_t.T, c_t.T, i_t.T, seed, pixact)
 
 
 def variant_b(key, ro, rd, color, inc, seed, pixact):
