@@ -306,3 +306,35 @@ def test_sample_shard_estimator_converges_to_sequential(scene_data):
     # the truth's own residual noise); an estimator bias would plateau.
     assert errs[1] < errs[0] * 0.55, errs
     assert errs[1] < 0.15, errs
+
+
+def test_sharded_render_all_one_program_all_counts(scene_data):
+    """render_all's frame count is a traced fori_loop bound: different
+    counts must reuse ONE compiled program (round-4's '>20 min sharded
+    compile' was a fresh static program per count — BASELINE.md r5)."""
+    from tpu_pathtracer.parallel import make_sharded_render_all
+
+    mesh = make_mesh(tiles=2, samples=1)
+    render_all = make_sharded_render_all(
+        mesh, width=W, height=H, aspect=ASPECT, samples_per_frame=1,
+        max_bounces=2,
+    )
+    a1 = np.asarray(render_all(scene_data, _params(1), 1))
+    a3 = np.asarray(render_all(scene_data, _params(1), 3))
+    assert np.isfinite(a1).all() and np.isfinite(a3).all()
+    # the two counts ran through the same jitted callable with one trace
+    import jax
+
+    inner = [c for c in (getattr(render_all, "__closure__", None) or ())
+             if hasattr(c.cell_contents, "_cache_size")]
+    if inner:
+        assert inner[0].cell_contents._cache_size() == 1
+    # count-3 equals stepwise accumulation
+    step = make_sharded_frame_step(
+        mesh, width=W, height=H, aspect=ASPECT, samples_per_frame=1,
+        max_bounces=2,
+    )
+    acc = zeros_acc(mesh, H, W)
+    for f in range(1, 4):
+        acc = step(scene_data, _params(f), acc)
+    np.testing.assert_allclose(a3, np.asarray(acc), atol=1e-6)
