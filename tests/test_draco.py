@@ -327,3 +327,20 @@ def test_exceptions_never_cross_abi():
         blob = b"DRACO" + bytes(rng.integers(0, 256, n, dtype=np.uint8))
         with pytest.raises(draco.DracoError):
             draco.decode(blob)
+
+
+def test_edgebreaker_random_streams_never_crash():
+    """Arbitrary random bytes presented as an edgebreaker stream must be
+    rejected cleanly (or, vanishingly rarely, decode to something whose
+    indices are in range) — the CLERS machine's loop/stack guards are the
+    only thing between a hostile stream and UB."""
+    rng = np.random.default_rng(7)
+    header = bytes([68, 82, 65, 67, 79, 2, 2, 1, 1, 0, 0])  # DRACO 2.2 eb
+    for _ in range(300):
+        body = rng.integers(0, 256, rng.integers(1, 64), dtype=np.uint8)
+        blob = header + body.tobytes()
+        try:
+            out = draco.decode(blob)
+            assert np.all(np.asarray(out["indices"]) < out["num_points"])
+        except draco.DracoError:
+            pass
